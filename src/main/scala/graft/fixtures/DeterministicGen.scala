@@ -1,0 +1,216 @@
+package graft.fixtures
+
+import scala.util.Random
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.{OsmDocRow, OsmElement}
+import graft.spatial.ZCell
+
+/** Deterministic synthetic fixture generator (FIXTURES.md §2-3): seeded
+  * streams, identical output for (seed, sf); no wall clock, no external data.
+  * The reference ships no OSM data files (its automated tests are
+  * parser-only, test/test_parser.cpp), so element fixtures are synthesized
+  * to the OSM model the reference evaluates against
+  * (include/object_filter.hpp:821-956, 1196-1309).
+  */
+object DeterministicGen {
+
+  val Seed = 42L
+
+  val keyPool: Vector[String] = Vector(
+    "highway", "oneway", "amenity", "name", "type", "addr:street",
+    "addr:housenumber", "building", "natural", "landuse")
+
+  val highwayValues: Vector[String] = Vector(
+    "residential", "primary", "secondary", "primary_link", "secondary_link",
+    "motorway", "service", "footway", "track")
+
+  val genericValues: Vector[String] = Vector(
+    "yes", "no", "12", "12ab", "", "Main Street", "multipolygon", "water",
+    "restaurant", "tree", "42a", "0")
+
+  val userPool: Vector[String] = Vector(
+    "alice", "bob", "charlie", "", "dave m", "Wanderer", "mapper_99",
+    "Anna:Berlin", "x")
+
+  /** Dense "urban" hotspots (lat, lon) — drive cell skew, kNN and PIP. */
+  val hotspots: Vector[(Double, Double)] =
+    Vector((52.52, 13.405), (48.8566, 2.3522), (40.7128, -74.006))
+
+  def elementCount(sf: Double): Int = math.max(1, (600000 * sf).toInt)
+
+  /** Deterministic element stream. Ways draw node refs from already-emitted
+    * node ids; ~1% of ids are negative (uint64 id-set wrap cases). */
+  def elements(sf: Double, seed: Long = Seed): Vector[OsmElement] = {
+    val rng = new Random(seed)
+    val n = elementCount(sf)
+    val nodeIds = new scala.collection.mutable.ArrayBuffer[Long](n)
+    val out = Vector.newBuilder[OsmElement]
+    var nextId = 1L
+    var i = 0
+    while (i < n) {
+      val roll = rng.nextDouble()
+      val otype = if (roll < 0.70) "node" else if (roll < 0.95) "way" else "relation"
+      val id = {
+        val base = nextId + rng.nextInt(3)
+        nextId = base + 1
+        if (rng.nextDouble() < 0.01) -base else base
+      }
+      val version = 1L + rng.nextInt(20)
+      val visible = rng.nextDouble() >= 0.02
+      // Zipf-ish skew for uid/changeset
+      val uid = (math.pow(rng.nextDouble(), 3.0) * 5000).toLong
+      val changeset = (math.pow(rng.nextDouble(), 2.0) * 900000).toLong
+      val user = userPool(math.min((math.pow(rng.nextDouble(), 2.0) * userPool.size).toInt, userPool.size - 1))
+      val ts = java.time.Instant.ofEpochSecond(1577836800L + i.toLong * 37L).toString
+
+      val tagCount = rng.nextInt(13)
+      val tags = Vector.tabulate(tagCount) { _ =>
+        val k = keyPool(rng.nextInt(keyPool.size))
+        val v =
+          if (k == "highway") highwayValues(rng.nextInt(highwayValues.size))
+          else genericValues(rng.nextInt(genericValues.size))
+        (k, v)
+      }
+
+      val (lat, lon) = otype match {
+        case "node" =>
+          if (rng.nextDouble() < 0.7) {
+            val (hlat, hlon) = hotspots(rng.nextInt(hotspots.size))
+            (Some(hlat + rng.nextGaussian() * 0.01),
+             Some(hlon + rng.nextGaussian() * 0.015))
+          } else {
+            (Some(rng.nextDouble() * 170 - 85), Some(rng.nextDouble() * 360 - 180))
+          }
+        case _ => (None, None)
+      }
+
+      val nds: Vector[Long] = otype match {
+        case "way" =>
+          if (rng.nextDouble() < 0.02) {
+            // degenerate 1-node way (closed-way edge: first == last trivially)
+            Vector(pickNode(rng, nodeIds, nextId))
+          } else {
+            val len = 2 + rng.nextInt(49)
+            val refs = Vector.fill(len)(pickNode(rng, nodeIds, nextId))
+            if (rng.nextDouble() < 0.30) refs :+ refs.head else refs
+          }
+        case _ => Vector.empty
+      }
+
+      val members: Vector[(String, Long, String)] = otype match {
+        case "relation" =>
+          val cnt = 1 + rng.nextInt(10)
+          Vector.fill(cnt) {
+            val mt = Vector("node", "way", "relation")(rng.nextInt(3))
+            val role = Vector("inner", "outer", "", "stop")(rng.nextInt(4))
+            (mt, pickNode(rng, nodeIds, nextId), role)
+          }
+        case _ => Vector.empty
+      }
+
+      val media: Vector[String] =
+        if (rng.nextDouble() < 0.10)
+          Vector.fill(1 + rng.nextInt(3))(f"media://${rng.nextLong()}%016x")
+        else Vector.empty
+
+      if (otype == "node") nodeIds += id
+      out += OsmElement(otype, id, version, visible, changeset, uid, user, ts,
+        lat, lon, tags, nds, members, media, i.toLong)
+      i += 1
+    }
+    out.result()
+  }
+
+  private def pickNode(rng: Random, nodeIds: scala.collection.mutable.ArrayBuffer[Long],
+                       fallback: Long): Long =
+    if (nodeIds.isEmpty) fallback + rng.nextInt(100)
+    else nodeIds(rng.nextInt(nodeIds.size))
+
+  def docRows(sf: Double, seed: Long = Seed): Vector[OsmDocRow] =
+    elements(sf, seed).map(_.toDocRow)
+
+  def docsDF(spark: SparkSession, sf: Double, seed: Long = Seed): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(docRows(sf, seed)).toDF()
+  }
+
+  // --- spatial fixtures (FIXTURES.md §3) -----------------------------------
+
+  final case class PolygonFixture(polygon_id: Long,
+                                  rings: Seq[Seq[(Double, Double)]]) {
+    def outer: Seq[(Double, Double)] = rings.head
+  }
+
+  /** ~20 small polygons over the hotspots: convex + concave (star) + one
+    * with a hole. Even-odd (ray-cast parity over all rings) containment. */
+  def polygons(seed: Long = Seed): Vector[PolygonFixture] = {
+    val rng = new Random(seed + 1)
+    val out = Vector.newBuilder[PolygonFixture]
+    var pid = 0L
+    hotspots.foreach { case (hlat, hlon) =>
+      // convex-ish polygons: jittered regular k-gons
+      for (_ <- 0 until 5) {
+        val clat = hlat + rng.nextGaussian() * 0.008
+        val clon = hlon + rng.nextGaussian() * 0.012
+        val k = 5 + rng.nextInt(36)
+        val r = 0.002 + rng.nextDouble() * 0.012
+        val ring = (0 until k).map { j =>
+          val a = 2 * math.Pi * j / k
+          (clat + r * math.sin(a) * (0.8 + 0.4 * rng.nextDouble()),
+           clon + r * math.cos(a) * (0.8 + 0.4 * rng.nextDouble()))
+        }
+        out += PolygonFixture(pid, Seq(ring)); pid += 1
+      }
+      // one concave star
+      val star = (0 until 10).map { j =>
+        val a = 2 * math.Pi * j / 10
+        val r = if (j % 2 == 0) 0.012 else 0.004
+        (hlat + r * math.sin(a), hlon + r * math.cos(a))
+      }
+      out += PolygonFixture(pid, Seq(star)); pid += 1
+    }
+    // one polygon with a hole over the first hotspot
+    val (hlat, hlon) = hotspots.head
+    val outerR = (0 until 8).map { j =>
+      val a = 2 * math.Pi * j / 8
+      (hlat + 0.02 * math.sin(a), hlon + 0.02 * math.cos(a))
+    }
+    val hole = (0 until 6).map { j =>
+      val a = 2 * math.Pi * j / 6
+      (hlat + 0.006 * math.sin(a), hlon + 0.006 * math.cos(a))
+    }
+    out += PolygonFixture(pid, Seq(outerR, hole))
+    out.result()
+  }
+
+  final case class RasterTile(cell: Long, level: Int, payload: Array[Byte])
+
+  /** Synthetic raster tiles at a coarse cell level covering the hotspot
+    * areas (plus a thin uniform background), for raster↔vector prefix joins. */
+  def rasterTiles(level: Int = 12, seed: Long = Seed): Vector[RasterTile] = {
+    val rng = new Random(seed + 2)
+    val cells = scala.collection.mutable.LinkedHashSet[Long]()
+    hotspots.foreach { case (hlat, hlon) =>
+      ZCell.coverBBox(hlat - 0.05, hlat + 0.05, hlon - 0.07, hlon + 0.07, level)
+        .foreach(cells += _)
+    }
+    for (_ <- 0 until 200)
+      cells += ZCell.encode(rng.nextDouble() * 170 - 85, rng.nextDouble() * 360 - 180, level)
+    cells.toVector.map { c =>
+      val payload = new Array[Byte](64)
+      rng.nextBytes(payload)
+      RasterTile(c, level, payload)
+    }
+  }
+
+  /** Ids for the `in (<'file')` fixture — a mix of present and absent ids,
+    * whitespace-separated like the reference reads (hpp:1505-1511). */
+  def idListFile(sf: Double, path: java.nio.file.Path, seed: Long = Seed): Unit = {
+    val rng = new Random(seed + 3)
+    val els = elements(sf, seed)
+    val some = els.filter(_ => rng.nextDouble() < 0.2).map(_.id)
+    val absent = Vector.fill(some.size / 4)(9000000L + rng.nextInt(100000))
+    val all = rng.shuffle(some ++ absent)
+    java.nio.file.Files.writeString(path, all.mkString(" \n"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Span codec: derives the typed OSM view from the contract docs table using
+  * Catalyst higher-order functions only (no UDFs, no RDDs). The inverse
+  * direction (typed → spans) lives in [[OsmElement.toSpans]] and is used by
+  * the fixture generator; round-trip equality is property-tested.
+  *
+  * Scale note: the derivation is a pure projection, so Catalyst prunes it —
+  * a filter that only touches `id` and `tags` reads only the spans column it
+  * needs and the generated plan keeps the scan vectorized. For repeated
+  * interactive querying at 100 TB you'd materialize this view once as a
+  * typed columnar projection (see engine.FilterJob.materializeView) and let
+  * parquet column pruning skip the untouched arrays entirely.
+  */
+object OsmView {
+
+  /** First span text of the given kind (header fields occur exactly once).
+    * `get` (0-based) is null-safe under ANSI mode, unlike `element_at` —
+    * lat/lon spans are absent on ways/relations. */
+  private def spanText(kind: String): Column =
+    get(filter(col("spans"), s => s.getField("kind") === kind), lit(0))
+      .getField("text")
+
+  /** Typed view columns derived from `spans`. If the physical table already
+    * carries `type`/`seq` (partition + order columns), they are reused so
+    * partition pruning works; otherwise they are derived. */
+  def derive(docs: DataFrame): DataFrame = {
+    val hasType = docs.columns.contains("type")
+    val hasSeq = docs.columns.contains("seq")
+    val tagSpans = filter(col("spans"), s => s.getField("kind") === "tag")
+    val tagStruct = (s: Column) => {
+      val t = s.getField("text")
+      val key = substring_index(t, "=", 1)
+      struct(
+        key.as("key"),
+        t.substr(length(key) + lit(2), length(t)).as("value"))
+    }
+    docs.select(
+      col("doc_id"),
+      col("spans"),
+      (if (hasType) col("type") else spanText("type")).as("type"),
+      (if (hasSeq) col("seq") else monotonically_increasing_id()).as("seq"),
+      spanText("id").cast("long").as("id"),
+      spanText("version").cast("long").as("version"),
+      (spanText("visible") === "true").as("visible"),
+      spanText("changeset").cast("long").as("changeset"),
+      spanText("uid").cast("long").as("uid"),
+      spanText("user").as("user"),
+      spanText("timestamp").as("timestamp"),
+      (spanText("lat").cast("long") / 1e7).as("lat"),
+      (spanText("lon").cast("long") / 1e7).as("lon"),
+      transform(tagSpans, tagStruct).as("tags"),
+      transform(
+        filter(col("spans"), s => s.getField("kind") === "nd"),
+        s => s.getField("text").cast("long")).as("nds"),
+      transform(
+        filter(col("spans"), s => s.getField("kind") === "member"),
+        s => {
+          val parts = split(s.getField("text"), "/", 3)
+          struct(
+            element_at(parts, 1).as("mtype"),
+            element_at(parts, 2).cast("long").as("ref"),
+            element_at(parts, 3).as("role"))
+        }).as("members"),
+      transform(
+        filter(col("spans"), s => s.getField("kind") === "media"),
+        s => s.getField("media_ref")).as("media_refs"))
+  }
+}
