@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.compile.Compiler
+import graft.model.OsmView
+import graft.ofl.{EntityBits, Expr, OflTypeException, Parser, Pretty}
+
+/** The query lifecycle (SURVEY.md §3): parse → analyze (entity bits +
+  * never-match abort) → compile → Catalyst. The reference's single-threaded
+  * scan loop (main.cpp:182-199) becomes a declarative
+  * `docs.filter(predicate)`; everything downstream (partition pruning,
+  * vectorized parquet scan, whole-stage codegen, task parallelism) is stock
+  * Catalyst/Tungsten.
+  */
+object FilterEngine {
+
+  final case class Query(source: String, ast: Expr) {
+    def entities: Int = EntityBits.entities(ast)
+    def neverMatches: Boolean = entities == EntityBits.Nothing
+
+    /** `-v` output: golden tree + entity mask line (main.cpp:118-134). */
+    def explain: String =
+      Pretty.print(ast) + "entities:" +
+        EntityBits.names(entities).map(" " + _).mkString + "\n"
+  }
+
+  /** Parse + analyze — the `-n` dry-run surface (main.cpp:136-139). */
+  def parse(expression: String): Query = Query(expression, Parser.parse(expression))
+
+  /** Single-pass filter (reference R1): selects matching rows of the docs
+    * table, never rewriting `spans` (span-sequence invariant is structural).
+    * Returns the full docs shape plus the typed view columns. */
+  def filter(docs: DataFrame, expression: String,
+             idLoader: Compiler.IdListLoader = Compiler.noFiles): DataFrame = {
+    val q = parse(expression)
+    if (q.neverMatches)
+      throw new OflTypeException("Filter expression can never match") // main.cpp:114-117
+    OsmView.derive(docs).filter(Compiler.compileEffective(q.ast, idLoader))
+  }
+
+  /** `--complete-ways` two-pass semi-join (reference main.cpp:143-180):
+    * pass 1 collects (type, positive_id) of every match plus node ids of all
+    * node-refs of matching ways — note `positive_id()`/`positive_ref()`:
+    * membership is on |id| (main.cpp:151-155); pass 2 rescans everything
+    * unrestricted and emits objects whose (type, |id|) is in the set.
+    *
+    * Spark-first shape: the per-type IdSetDense bitset becomes a left-semi
+    * join on (type, abs(id)); with AQE on, Spark broadcasts the id side at
+    * runtime when it is small (the common case) and falls back to a shuffled
+    * hash join when a non-selective filter makes it huge — exactly the
+    * size-adaptive behavior the bitset hand-codes. Catalyst reuses the scan
+    * of `docs` across the two logical passes (ReusedExchange). */
+  def completeWays(docs: DataFrame, expression: String,
+                   idLoader: Compiler.IdListLoader = Compiler.noFiles): DataFrame = {
+    val matched = filter(docs, expression, idLoader)
+    val selfIds = matched.select(col("type"), abs(col("id")).as("pid"))
+    val ndIds = matched
+      .where(col("type") === "way")
+      .select(explode(col("nds")).as("ref"))
+      .select(lit("node").as("type"), abs(col("ref")).as("pid"))
+    val wanted = selfIds.union(ndIds).distinct()
+    OsmView.derive(docs)
+      .withColumn("pid", abs(col("id")))
+      .join(wanted, Seq("type", "pid"), "left_semi")
+      .drop("pid")
+  }
+
+  /** Write surviving rows in input order (reference preserves input order
+    * byte-exactly; Spark output order is nondeterministic without an
+    * explicit sort — SURVEY.md §7.4 #4). The docs-contract columns only. */
+  def writeOrdered(filtered: DataFrame, outPath: String): Unit =
+    filtered.select("doc_id", "spans", "type", "seq")
+      .orderBy("seq")
+      .write.mode("overwrite")
+      .parquet(outPath)
+
+  /** Engine session defaults — 32 shuffle partitions for local[32], AQE for
+    * runtime re-planning (skew joins, dynamic broadcast). */
+  def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
