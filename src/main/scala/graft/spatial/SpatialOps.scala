@@ -1,0 +1,189 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-first spatial operators (north rule; the reference has no spatial
+  * code — SURVEY.md §2.6): batched cell encoding, point-in-polygon, spatial
+  * join via cell-cover prejoin + exact refine (the approximate-prejoin/refine
+  * shape of the Raster-Intervals/Raptor pattern), kNN via ring-expansion
+  * candidates + window top-k with exact fallback, raster↔vector prefix join.
+  *
+  * The cell encoder is PURE Column arithmetic (shift/and/or) so it stays
+  * inside whole-stage codegen — no UDF or CodegenFallback in the
+  * hot path. Polygon sides are broadcast (small per BASELINE.json);
+  * dense-urban-cell skew is handled by salting + AQE skew join.
+  */
+object SpatialOps {
+
+  // --- cell encoder: Column mirror of ZCell.encode ---------------------------
+
+  private def spreadCol(v0: Column): Column = {
+    var v = v0.bitwiseAND(lit(0x3ffffffL))
+    v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000ffff0000ffffL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+    v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+    v
+  }
+
+  private def clampCol(v: Column, hi: Long): Column =
+    least(greatest(v, lit(0L)), lit(hi))
+
+  /** Z-order cell of a point at `level` — codegen-friendly, vectorizable. */
+  def cellId(lat: Column, lon: Column, level: Int): Column = {
+    require(level >= 0 && level <= ZCell.MaxLevel)
+    val n = 1L << level
+    val x = clampCol(floor((lon + 180.0) / 360.0 * n).cast("long"), n - 1)
+    val y = clampCol(floor((lit(90.0) - lat) / 180.0 * n).cast("long"), n - 1)
+    shiftleft(shiftleft(spreadCol(y), 1).bitwiseOR(spreadCol(x)), 5)
+      .bitwiseOR(lit(level.toLong))
+  }
+
+  /** Ancestor cell at a coarser level — a shift, so raster↔vector prefix
+    * joins are plain integer equality (both levels statically known). */
+  def cellParent(cell: Column, fromLevel: Int, toLevel: Int): Column = {
+    require(toLevel <= fromLevel)
+    shiftleft(shiftrightunsigned(shiftrightunsigned(cell, 5), 2 * (fromLevel - toLevel)), 5)
+      .bitwiseOR(lit(toLevel.toLong))
+  }
+
+  /** Great-circle distance in meters (haversine), pure Column math. */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = 6371008.8
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * r) * asin(sqrt(a))
+  }
+
+  // --- point-in-polygon --------------------------------------------------------
+
+  /** Even-odd ray cast over all rings (outer + holes). Driver-side scalar. */
+  def pipScala(lat: Double, lon: Double, rings: Seq[Seq[(Double, Double)]]): Boolean = {
+    var inside = false
+    rings.foreach { ring =>
+      var j = ring.length - 1
+      var i = 0
+      while (i < ring.length) {
+        val (yi, xi) = ring(i)
+        val (yj, xj) = ring(j)
+        if ((yi > lat) != (yj > lat) &&
+            lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
+        j = i; i += 1
+      }
+    }
+    inside
+  }
+
+  /** PIP as a scalar UDF over rings as array<array<array<double>>> — each
+    * vertex a [lat, lon] pair (nested struct inputs are not supported by
+    * Spark UDF encoders). A UDF is acceptable here: it runs only on
+    * cell-cover CANDIDATES after the equi-join pruned the cross product; the
+    * hot path (cell encode + join) stays codegen'd. */
+  val pipUdf = udf { (lat: Double, lon: Double, rings: Seq[Seq[Seq[Double]]]) =>
+    pipScala(lat, lon, rings.map(_.map(p => (p(0), p(1)))))
+  }
+
+  /** Cover cells of a polygon's bbox at `level` (superset; exact refine
+    * follows). Runs distributed over the polygon side. */
+  def coverUdf(level: Int) = udf { (rings: Seq[Seq[Seq[Double]]]) =>
+    val outer = rings.head.map(p => (p(0), p(1)))
+    ZCell.coverBBox(outer.map(_._1).min, outer.map(_._1).max,
+      outer.map(_._2).min, outer.map(_._2).max, level)
+  }
+
+  /** struct rings (array<array<struct<lat,lon>>>) → [lat, lon] double arrays
+    * for the UDF boundary. */
+  private def ringsAsArrays(rings: Column): Column =
+    transform(rings, ring => transform(ring,
+      p => array(p.getField("lat"), p.getField("lon"))))
+
+  /** Spatial join: points (lat, lon, …) × polygons (polygon_id, rings) →
+    * matched pairs. Cell-cover equi-join prejoin (broadcast polygon side) +
+    * exact PIP refine. Each point lands in exactly one cell, so no dedup is
+    * needed. `level` trades candidate count vs cover size (~12 for
+    * city-block polygons). */
+  def polygonJoin(points: DataFrame, polygons: DataFrame, level: Int = 14): DataFrame = {
+    val polyCells = polygons
+      .withColumn("rings_a", ringsAsArrays(col("rings"))).drop("rings")
+      .withColumn("cell", explode(coverUdf(level)(col("rings_a"))))
+    val pointCells = points
+      .withColumn("cell", cellId(col("lat"), col("lon"), level))
+    pointCells
+      .join(broadcast(polyCells), Seq("cell"))
+      .filter(pipUdf(col("lat"), col("lon"), col("rings_a")))
+      .drop("cell", "rings_a")
+  }
+
+  // --- kNN ------------------------------------------------------------------------
+
+  private def ringCellsUdf(level: Int, maxRing: Int) = udf { (lat: Double, lon: Double) =>
+    val c = ZCell.encode(lat, lon, level)
+    (0 to maxRing).flatMap(d => ZCell.ring(c, d))
+  }
+
+  /** k nearest points for each query row (query_id, lat, lon): ring-expanded
+    * candidate cells (broadcast query side) + exact haversine re-rank with a
+    * per-query window top-k. Queries that found fewer than k candidates
+    * within `maxRing` rings fall back to an exact scan (correctness never
+    * depends on the ring radius). */
+  def knn(points: DataFrame, queries: DataFrame, k: Int,
+          level: Int = 10, maxRing: Int = 2): DataFrame = {
+    val q = queries.select(col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
+    val qCells = q.withColumn("cell", explode(ringCellsUdf(level, maxRing)(col("qlat"), col("qlon"))))
+    val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
+    val dist = haversineMeters(col("qlat"), col("qlon"), col("lat"), col("lon"))
+
+    val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
+      .withColumn("dist_m", dist)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("doc_id"))
+    val topk = candidates.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+
+    // exact fallback for under-filled queries (rare; empty at sane levels)
+    val counts = topk.groupBy("query_id").count()
+    val unsat = q.join(counts.filter(col("count") >= k), Seq("query_id"), "left_anti")
+    if (unsat.isEmpty) topk
+    else {
+      val brute = points.crossJoin(broadcast(unsat))
+        .withColumn("dist_m", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      topk.join(broadcast(unsat.select("query_id")), Seq("query_id"), "left_anti")
+        .unionByName(brute)
+    }
+  }
+
+  // --- raster ↔ vector ---------------------------------------------------------------
+
+  /** Joins vector points to raster tiles keyed by coarse cell: the point's
+    * fine cell is shifted to the tile level (prefix equality — no geometry
+    * test needed because cells nest exactly). */
+  def tileJoin(points: DataFrame, tiles: DataFrame,
+               pointLevel: Int = 16, tileLevel: Int = 12): DataFrame = {
+    val p = points.withColumn("tile_cell",
+      cellParent(cellId(col("lat"), col("lon"), pointLevel), pointLevel, tileLevel))
+    p.join(tiles.withColumnRenamed("cell", "tile_cell"), Seq("tile_cell"))
+  }
+
+  /** Salted repartition for dense urban cells: spreads each hot cell over
+    * `salt` partitions keyed by a row-stable hash, for two-phase per-cell
+    * aggregation (partial agg per (cell, salt), final agg per cell). */
+  def saltedByCell(df: DataFrame, cellCol: Column, saltBuckets: Int,
+                   rowKey: Column): DataFrame =
+    df.repartition(cellCol, pmod(hash(rowKey), lit(saltBuckets)))
+
+  /** Per-cell density with salting: two-phase aggregation that survives
+    * heavily skewed hotspots (partial counts per (cell, salt), then final
+    * sum per cell — the map-side-combine shape). */
+  def cellDensity(points: DataFrame, level: Int, saltBuckets: Int = 16): DataFrame =
+    points
+      .withColumn("cell", cellId(col("lat"), col("lon"), level))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
+      .groupBy("cell", "salt").agg(count(lit(1)).as("partial"))
+      .groupBy("cell").agg(sum("partial").as("n"))
+}
