@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. All shuffle-aware:
+  * exact dedup partitions by fingerprint (one shuffle, map-side combine);
+  * MinHash/SimHash candidate generation explodes band keys and equi-joins
+  * within band buckets (candidates only — never the cross product), then
+  * verifies exactly. */
+object Dedup {
+
+  /** Exact dedup by normalized-text fingerprint: keeps the smallest key per
+    * duplicate group. One hash-partitioned shuffle on the 8-byte
+    * fingerprint; survives 100TB because the state per reducer is one row
+    * per group. */
+  def exactDedup(docs: DataFrame, textCol: Column, keyCol: Column): DataFrame = {
+    val fp = TextOps.fingerprint(textCol)
+    val w = Window.partitionBy(fp).orderBy(keyCol)
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Duplicate groups (fingerprint, size, members) — the audit view. */
+  def exactDupGroups(docs: DataFrame, textCol: Column, keyCol: Column): DataFrame =
+    docs.groupBy(TextOps.fingerprint(textCol).as("fp"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(keyCol)).as("members"))
+      .filter(col("n") > 1)
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val tokens = filter(split(lower(trim(text)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    when(size(tokens) < n, when(size(tokens) > 0, array(concat_ws(" ", tokens)))
+        .otherwise(array().cast("array<string>")))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n))))))
+  }
+
+  /** Exact n-gram Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(a) === 0 && size(b) === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)))
+
+  /** MinHash signature: `numHashes` min-values over per-seed shingle hashes.
+    * Pure Columns: each signature slot is array_min over xxhash64(shingle ⊕
+    * seed). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val slots = (0 until numHashes).map { i =>
+      when(size(shinglesCol) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(shinglesCol,
+          s => xxhash64(s, lit(i)))))
+    }
+    array(slots: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: signature → `bands` band keys →
+    * equi-join within (band index, band hash) buckets → exact Jaccard
+    * verification ≥ `threshold`. Returns (key_a, key_b, jaccard) with
+    * key_a < key_b, deduplicated across bands.
+    *
+    * Scale shape: the only shuffle is the band-bucket self-join; bucket
+    * sizes are bounded by collision rate, and AQE's skew-join splits
+    * pathological buckets. The cross product never materializes. */
+  def minhashDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
+                      ngram: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = bands * (numHashes / bands)
+    require(rows == numHashes, "bands must divide numHashes")
+    val perBand = numHashes / bands
+    val sig = docs.select(keyCol.as("key"),
+      shingles(textCol, ngram).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sig.select(col("key"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * perBand + lit(1), lit(perBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val l = banded.select(col("band"), col("bandhash"),
+      col("key").as("key_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bandhash"),
+      col("key").as("key_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bandhash"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("key_a", "key_b").agg(first("jaccard").as("jaccard"))
+  }
+
+  /** All-pairs exact n-gram Jaccard above a threshold (quadratic — the
+    * small-data oracle for LSH and a usable op below ~100k docs when
+    * pre-blocked). */
+  def jaccardDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
+                      ngram: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val s = docs.select(keyCol.as("key"), shingles(textCol, ngram).as("sh"))
+    val l = s.select(col("key").as("key_a"), col("sh").as("sh_a"))
+    val r = s.select(col("key").as("key_b"), col("sh").as("sh_b"))
+    l.crossJoin(r).filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens, pure Columns: per-bit majority vote of
+    * token hashes, built with 64 aggregate() passes folded into one
+    * projection. bit b of the result = 1 iff Σ_tokens sign(bit b of
+    * hash(token)) > 0. */
+  def simhash(text: Column): Column = {
+    val tokens = filter(split(lower(trim(text)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: split the 64-bit simhash into `bands`
+    * contiguous chunks (static shifts, codegen'd); docs sharing any chunk
+    * are candidates; verify by Hamming distance ≤ maxHamming. Same
+    * band-bucket join shape as MinHash-LSH — no cross product. */
+  def simhashDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
+                      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val s = docs.select(keyCol.as("key"), simhash(textCol).as("sim"))
+    val bandCols = (0 until bands).map(b =>
+      shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(mask)))
+    val banded = s.select(col("key"), col("sim"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandval")
+    val l = banded.select(col("band"), col("bandval"),
+      col("key").as("key_a"), col("sim").as("sim_a"))
+    val r = banded.select(col("band"), col("bandval"),
+      col("key").as("key_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("band", "bandval"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("key_a", "key_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), pure
+  * Columns: zip_with/aggregate dot products (codegen'd), window top-k.
+  * Baseline: brute-force cosine top-k. Scale path: random-hyperplane LSH
+  * bucketing so each query only scans its bucket's candidates; exact re-rank
+  * inside the bucket; deterministic hyperplanes from a seeded generator. */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: queries × corpus, exact. The corpus side
+    * streams; the query side broadcasts. O(Q·N) — the ground-truth baseline
+    * and the right tool when Q is small. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cos", "rn")
+  }
+
+  /** Deterministic random hyperplanes: `bits` planes of dimension `dim`. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit signature of an embedding against broadcast-literal planes —
+    * pure Columns, one pass. */
+  def lshSignature(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(aggregate(zip_with(emb, planeLit, (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN top-k: bucket corpus and queries by hyperplane
+    * signature with `probes` multi-probe neighbor buckets (flip one bit),
+    * exact cosine re-rank within candidate buckets. Recall grows with
+    * probes/bits tradeoff; exactness is NOT guaranteed — that's the point of
+    * the scale path. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, bits: Int = 12, probes: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val c = corpus.withColumn("bucket", lshSignature(col("embedding"), planes))
+    val qSig = queries.select(col("query_id"), col("embedding").as("q_emb"))
+      .withColumn("sig", lshSignature(col("q_emb"), planes))
+    // multi-probe: the bucket itself + `probes` nearest buckets in signature
+    // hamming order (all 1-bit flips, then 2-bit flips, …)
+    val flips: Seq[Long] = {
+      val oneBit = (0 until bits).map(b => 1L << b)
+      val twoBit = for (i <- 0 until bits; j <- i + 1 until bits)
+        yield (1L << i) | (1L << j)
+      (oneBit ++ twoBit).take(probes)
+    }
+    val probeCols = lit(0L) +: flips.map(lit(_))
+    val qBuckets = qSig.select(col("query_id"), col("q_emb"),
+      explode(array(probeCols.map(p => col("sig").bitwiseXOR(p)): _*)).as("bucket"))
+    val scored = c.join(qBuckets, Seq("bucket"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cos", "rn")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucket
+    * self-join + exact verify (no cross product). */
+  def cosineDupPairs(corpus: DataFrame, keyCol: Column, threshold: Double,
+                     dim: Int, bits: Int = 10, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val c = corpus.select(keyCol.as("key"), col("embedding"))
+      .withColumn("bucket", lshSignature(col("embedding"), planes))
+    val l = c.select(col("bucket"), col("key").as("key_a"), col("embedding").as("emb_a"))
+    val r = c.select(col("bucket"), col("key").as("key_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("key_a", "key_b").agg(first("cos").as("cos"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Training-data ops over the driver-provided documents/embeddings tables
+  * (sf=0.001), verified against brute-force/driver-side ground truth. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val documents =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("token counts, ratios, quality are sane and deterministic") {
+    val df = documents.select(col("doc_id"), col("text"),
+      TextOps.tokenCountWs(col("text")).as("ws"),
+      TextOps.tokenCountBpe(col("text")).as("bpe"),
+      TextOps.punctRatio(col("text")).as("punct"),
+      TextOps.qualityScore(col("text")).as("q")).collect()
+    df.foreach { r =>
+      val text = r.getAs[String]("text")
+      val expectedWs = text.trim.split("\\s+").count(_.nonEmpty)
+      assert(r.getAs[Int]("ws") === expectedWs, s"ws of <$text>")
+      assert(r.getAs[Int]("bpe") >= r.getAs[Int]("ws") - 1, "bpe >= words-ish")
+      val p = r.getAs[Double]("punct"); assert(p >= 0 && p <= 1)
+      val q = r.getAs[Double]("q"); assert(q >= 0 && q <= 1)
+    }
+  }
+
+  test("langId finds the stopword-dominant language") {
+    val samples = Seq(
+      ("the cat and the dog are in the house", "en"),
+      ("der Hund und die Katze sind nicht im Haus", "de"),
+      ("le chat est dans la maison avec le chien", "fr"),
+      ("el perro y el gato es en la casa", "es"),
+      ("zzz qqq xxx", "und"),
+      ("", "und"))
+    val got = samples.map(_._1).toDF("text")
+      .select(col("text"), TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    samples.foreach { case (t, l) => assert(got(t) === l, s"langId of <$t>") }
+  }
+
+  test("exact dedup keeps one representative per normalized text") {
+    val withDups = documents.select("doc_id", "text")
+      .unionByName(documents.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text")).limit(50))
+    val deduped = Dedup.exactDedup(withDups, col("text"), col("doc_id"))
+    // ground truth: distinct normalized texts
+    val norm = (s: String) => s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val distinctTexts = withDups.collect().map(r => norm(r.getAs[String]("text"))).toSet
+    assert(deduped.count() === distinctTexts.size)
+    // survivors are the minimal doc_id of each group
+    val groups = withDups.collect().groupBy(r => norm(r.getAs[String]("text")))
+    val expected = groups.values.map(_.map(_.getAs[Long]("doc_id")).min).toSet
+    val got = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("minhash LSH finds the pairs exact jaccard confirms (no false positives)") {
+    // seed near-duplicates: copy 30 docs with one word changed
+    val base = documents.select("doc_id", "text").limit(200)
+    val nearDups = base.limit(30).select((col("doc_id") + 500000).as("doc_id"),
+      concat(col("text"), lit(" extra")).as("text"))
+    val corpus = base.unionByName(nearDups).cache()
+
+    val lsh = Dedup.minhashDupPairs(corpus, col("text"), col("doc_id"),
+      ngram = 3, numHashes = 16, bands = 4, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val exact = Dedup.jaccardDupPairs(corpus, col("text"), col("doc_id"),
+      ngram = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // verification step makes LSH output a SUBSET of exact pairs…
+    lsh.foreach { case (a, b, j) =>
+      assert(exact.contains((a, b)), s"false positive ($a,$b,$j)")
+      assert(j >= 0.6)
+    }
+    // …and the banding must catch the seeded near-identical pairs
+    val seeded = lsh.map(p => (p._1, p._2)).toSet
+    val expectedSeeded = exact.filter { case (a, b) => b - a == 500000 }
+    assert(expectedSeeded.nonEmpty)
+    assert(expectedSeeded.forall(seeded.contains),
+      "LSH missed seeded near-identical pairs")
+  }
+
+  test("simhash bands find near-identical pairs; hamming verified") {
+    val base = documents.select("doc_id", "text").limit(150)
+    val nearDups = base.limit(20).select((col("doc_id") + 500000).as("doc_id"),
+      concat(col("text"), lit(" suffix")).as("text"))
+    val corpus = base.unionByName(nearDups)
+    val pairs = Dedup.simhashDupPairs(corpus, col("text"), col("doc_id"),
+      bands = 4, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.foreach { case (_, _, h) => assert(h <= 6) }
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val seededFound = found.count { case (a, b) => b - a == 500000 }
+    assert(seededFound >= 15, s"simhash found only $seededFound/20 seeded pairs")
+  }
+
+  test("brute-force cosine top-k equals driver-side ground truth") {
+    val vecs = embeddings.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val queries = embeddings.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.bruteTopK(embeddings, queries, 10)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id")).toSeq }
+    got.foreach { case (qid, topIds) =>
+      val qv = vecs.find(_._1 == qid).get._2
+      val expected = vecs.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+      assert(topIds === expected, s"top-k for query $qid")
+    }
+  }
+
+  test("LSH ANN: recall rises with probes while scanning a bounded fraction") {
+    val queries = embeddings.limit(10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteTopK(embeddings, queries, 10)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    def recall(bits: Int, probes: Int): Double = {
+      val ann = Similarity.lshTopK(embeddings, queries, 10, dim = 64,
+        bits = bits, probes = probes)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      val rs = exact.map { case (q, ex) =>
+        ann.get(q).map(a => a.intersect(ex).size.toDouble / ex.size).getOrElse(0.0) }
+      rs.sum / rs.size
+    }
+    // hamming-≤1 probing (5/16 of buckets): moderate recall
+    val r1 = recall(4, 4)
+    // hamming-≤2 probing (11/16 of buckets): high recall, still not a scan
+    val r2 = recall(4, 10)
+    assert(r2 >= r1, s"more probes must not reduce recall ($r1 -> $r2)")
+    assert(r1 >= 0.4, s"hamming-1 recall $r1")
+    assert(r2 >= 0.7, s"hamming-2 recall $r2")
+  }
+
+  test("embedding cosine near-dup pairs are verified-correct") {
+    // seed: duplicate 10 vectors exactly (cos = 1)
+    val dups = embeddings.limit(10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = embeddings.unionByName(dups)
+    val pairs = Similarity.cosineDupPairs(corpus, col("vec_id"), 0.999, dim = 64,
+      bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.foreach { case (_, _, c) => assert(c >= 0.999) }
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until 10).foreach { i =>
+      val expectPair = embeddings.limit(10).collect()(i).getAs[Long]("vec_id")
+      assert(found.contains((expectPair, expectPair + 10000)),
+        s"missed exact duplicate $expectPair")
+    }
+  }
+
+  test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {
+    val docs = graft.fixtures.DeterministicGen.docsDF(spark, 0.001)
+    val view = graft.model.OsmView.derive(docs)
+    val media = Multimodal.mediaTable(view).cache()
+    assert(media.count() > 0)
+    assert(media.schema("bytes").dataType.typeName === "binary")
+    val decoded = Multimodal.decodeImages(media, featureDim = 8)
+    val d1 = decoded.collect().sortBy(m => (m.doc_id, m.media_ref))
+    val d2 = Multimodal.decodeImages(media, featureDim = 8)
+      .collect().sortBy(m => (m.doc_id, m.media_ref))
+    assert(d1.map(_.feature.toSeq) === d2.map(_.feature.toSeq), "deterministic decode")
+    assert(d1.forall(m => m.width >= 64 && m.height >= 64 && m.feature.length === 8))
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(f => (f.doc_id, f.media_ref, f.frame_idx)).forall(_._2.length == 1))
+  }
+}
