@@ -1,0 +1,198 @@
+package graft.driver
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.compile.Compiler
+import graft.engine.FilterEngine
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.spatial.SpatialOps
+
+/** The driver-verified query suite: one entry per operator family
+  * (SURVEY.md §2 + training-data ops + spatial layer). Every query is a real
+  * engine path — OFL text parsed and compiled by the engine over the
+  * span-encoded TpchOsm derivation, or a Dedup/Similarity/Text/Spatial
+  * operator — and every oracle below re-derives the expected result in
+  * DuckDB-ANSI SQL over the same base tables. Counts are cast to bigint to
+  * match DuckDB's count/len types; floats are avoided or rounded. */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ofl(expr: String)(project: DataFrame => DataFrame): Q =
+    (spark, sfDir) => project(
+      TpchOsm.view(spark, sfDir)
+        .filter(Compiler.compileEffective(graft.ofl.Parser.parse(expr))))
+
+  /** Deterministic id-list file for `in (<'file')`: "3 6 9 … 300". */
+  private lazy val idFilePath: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("graft-oracle-ids", ".txt")
+    p.toFile.deleteOnExit()
+    java.nio.file.Files.writeString(p, (3 to 300 by 3).mkString(" "))
+    p
+  }
+
+  val all: Map[String, Q] = Map(
+    // --- OFL filter engine over the span-encoded derivation -----------------
+    "ofl_tag_version" -> ofl("status == 'F' and @version >= 2") { v =>
+      v.select(col("id"), col("version"), col("user").as("usr")).orderBy("id")
+    },
+    "ofl_regex_prefix" -> ofl("priority =~ 'URGENT$' and @user =^ '1'") { v =>
+      v.select(col("id"), col("user").as("usr")).orderBy("id")
+    },
+    "ofl_count_tags" -> ofl("@tags >= 4") { v =>
+      v.select(col("id"), size(col("tags")).cast("long").as("n_tags")).orderBy("id")
+    },
+    "ofl_idlist" -> ofl("@id in (3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987, 1597, 2584, 4181, 6765, 10946)") { v =>
+      v.select(col("id"), col("type").as("otype")).orderBy("id")
+    },
+    "ofl_idfile" -> { (spark, sfDir) =>
+      val loader = Compiler.fileLoader(_ => idFilePath)
+      TpchOsm.view(spark, sfDir)
+        .filter(Compiler.compileEffective(
+          graft.ofl.Parser.parse("@id in (<'ids')"), loader))
+        .select(col("id")).orderBy("id")
+    },
+    "ofl_bool_not" -> ofl("@way and not (status == 'O')") { v =>
+      v.select(col("id")).orderBy("id")
+    },
+    "ofl_closed_way" -> ofl("@closed_way") { v =>
+      v.select(col("id")).orderBy("id")
+    },
+    "ofl_nodes_count" -> ofl("@nodes[@ref >= 500] >= 2") { v =>
+      v.select(col("id"),
+        size(filter(col("nds"), r => r >= 500)).cast("long").as("n_match"))
+        .orderBy("id")
+    },
+    "ofl_members_role" -> ofl("@members[@role == 'outer'] > 0") { v =>
+      v.select(col("id"),
+        size(filter(col("members"), m => m.getField("role") === "outer"))
+          .cast("long").as("n_outer"))
+        .orderBy("id")
+    },
+    "ofl_user_regex" -> ofl("@user =~ '^[12]-' or not @visible") { v =>
+      v.select(col("id")).orderBy("id")
+    },
+    "ofl_complete_ways" -> { (spark, sfDir) =>
+      FilterEngine.completeWays(TpchOsm.docs(spark, sfDir), "highway == primary")
+        .select(col("type").as("otype"), col("id")).orderBy("otype", "id")
+    },
+
+    // --- spatial layer -------------------------------------------------------
+    "spatial_grid_density" -> { (spark, sfDir) =>
+      val nodes = TpchOsm.view(spark, sfDir).filter(col("type") === "node")
+      val cell = SpatialOps.cellId(col("lat"), col("lon"), 12)
+      nodes.select(SpatialOps.cellX(cell).as("cx"), SpatialOps.cellY(cell).as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .orderBy("cx", "cy")
+    },
+    "spatial_pip" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val polys = Seq(
+        (1L, Seq(Seq((-20.005, -60.005), (-20.005, -20.005), (20.005, -20.005), (20.005, -60.005)))),
+        (2L, Seq(Seq((30.005, 100.005), (30.005, 150.005), (60.005, 150.005), (60.005, 100.005)))),
+        (3L, Seq(Seq((0.005, 100.005), (30.005, 160.005), (-30.005, 160.005)))))
+        .toDF("polygon_id", "rings")
+        .withColumn("rings",
+          col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      SpatialOps.polygonJoin(nodes, polys, level = 5)
+        .select(col("polygon_id"), col("id")).orderBy("polygon_id", "id")
+    },
+    "spatial_knn" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val queries = Seq((1L, 10.005, -30.005), (2L, -45.005, 100.005),
+        (3L, 60.005, 160.005)).toDF("query_id", "lat", "lon")
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      val planar = (qlat: org.apache.spark.sql.Column, qlon: org.apache.spark.sql.Column,
+                    lat: org.apache.spark.sql.Column, lon: org.apache.spark.sql.Column) =>
+        (lat - qlat) * (lat - qlat) + (lon - qlon) * (lon - qlon)
+      SpatialOps.knn(nodes, queries, k = 5, level = 5, maxRing = 2,
+        metric = planar, tieBreak = "id")
+        .select(col("query_id"), col("id"))
+        .orderBy("query_id", "id")
+    },
+    "spatial_tile_assign" -> { (spark, sfDir) =>
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node")
+      val cell12 = SpatialOps.cellId(col("lat"), col("lon"), 12)
+      val tile = SpatialOps.cellParent(cell12, 12, 6)
+      nodes.select(col("id"),
+        SpatialOps.cellX(tile).as("cx"), SpatialOps.cellY(tile).as("cy"))
+        .orderBy("id")
+    },
+
+    // --- text analysis ----------------------------------------------------------
+    "text_tokens" -> { (spark, sfDir) =>
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("tok_ws"),
+          TextOps.tokenCountBpe(col("text")).cast("long").as("tok_bpe"),
+          round(TextOps.punctRatio(col("text")), 4).as("punct"))
+        .orderBy("doc_id")
+    },
+    "text_langid" -> { (spark, sfDir) =>
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+        .orderBy("doc_id")
+    },
+
+    // --- dedup -------------------------------------------------------------------
+    "dedup_prefix_survivors" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      Dedup.exactDedup(docs, substring(col("text"), 1, 40), col("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    },
+    "dedup_jaccard1" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 40)
+      Dedup.jaccardDupPairs(docs, col("text"), col("doc_id"),
+        ngram = 1, threshold = 0.4)
+        .select(col("key_a"), col("key_b"), round(col("jaccard"), 4).as("j4"))
+        .orderBy("key_a", "key_b")
+    },
+
+    // --- similarity ----------------------------------------------------------------
+    "sim_topk" -> { (spark, sfDir) =>
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteTopK(emb, queries, 5)
+        .select(col("query_id"), col("vec_id")).orderBy("query_id", "vec_id")
+    },
+
+    // --- rows-only checks (hash-seeded ops; no ANSI-SQL oracle) ----------------------
+    "dedup_minhash_lsh" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 300)
+      val seeded = docs.select((col("doc_id") + 900000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")).limit(40)
+      Dedup.minhashDupPairs(
+        docs.select("doc_id", "text").unionByName(seeded),
+        col("text"), col("doc_id"), ngram = 3, numHashes = 16, bands = 4,
+        threshold = 0.5)
+        .orderBy("key_a", "key_b")
+    },
+    "dedup_simhash" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 300)
+      Dedup.simhashDupPairs(docs, col("text"), col("doc_id"),
+        bands = 4, maxHamming = 8)
+        .orderBy("key_a", "key_b")
+    },
+    "sim_lsh_ann" -> { (spark, sfDir) =>
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, 10, dim = 64, bits = 4, probes = 10)
+        .select("query_id", "vec_id", "rn").orderBy("query_id", "rn")
+    },
+    "multimodal_decode" -> { (spark, sfDir) =>
+      val docs = TpchOsm.docs(spark, sfDir)
+      val media = graft.ops.Multimodal.mediaTable(graft.model.OsmView.derive(docs))
+      graft.ops.Multimodal.decodeImages(media, featureDim = 8)
+        .toDF().select("doc_id", "media_ref", "width", "height", "format")
+        .orderBy("doc_id", "media_ref")
+    })
+}

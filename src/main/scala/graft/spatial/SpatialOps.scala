@@ -42,6 +42,20 @@ object SpatialOps {
       .bitwiseOR(lit(level.toLong))
   }
 
+  private def compactCol(v0: Column): Column = {
+    var v = v0.bitwiseAND(lit(0x5555555555555555L))
+    v = (v.bitwiseOR(shiftrightunsigned(v, 1))).bitwiseAND(lit(0x3333333333333333L))
+    v = (v.bitwiseOR(shiftrightunsigned(v, 2))).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    v = (v.bitwiseOR(shiftrightunsigned(v, 4))).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    v = (v.bitwiseOR(shiftrightunsigned(v, 8))).bitwiseAND(lit(0x0000ffff0000ffffL))
+    v = (v.bitwiseOR(shiftrightunsigned(v, 16))).bitwiseAND(lit(0x00000000ffffffffL))
+    v
+  }
+
+  /** Grid x/y of a cell (Column mirrors of ZCell.x/y). */
+  def cellX(cell: Column): Column = compactCol(shiftrightunsigned(cell, 5))
+  def cellY(cell: Column): Column = compactCol(shiftrightunsigned(cell, 6))
+
   /** Ancestor cell at a coarser level — a shift, so raster↔vector prefix
     * joins are plain integer equality (both levels statically known). */
   def cellParent(cell: Column, fromLevel: Int, toLevel: Int): Column = {
@@ -132,15 +146,17 @@ object SpatialOps {
     * within `maxRing` rings fall back to an exact scan (correctness never
     * depends on the ring radius). */
   def knn(points: DataFrame, queries: DataFrame, k: Int,
-          level: Int = 10, maxRing: Int = 2): DataFrame = {
+          level: Int = 10, maxRing: Int = 2,
+          metric: (Column, Column, Column, Column) => Column = haversineMeters,
+          tieBreak: String = "doc_id"): DataFrame = {
     val q = queries.select(col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
     val qCells = q.withColumn("cell", explode(ringCellsUdf(level, maxRing)(col("qlat"), col("qlon"))))
     val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
-    val dist = haversineMeters(col("qlat"), col("qlon"), col("lat"), col("lon"))
+    val dist = metric(col("qlat"), col("qlon"), col("lat"), col("lon"))
 
     val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
       .withColumn("dist_m", dist)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col(tieBreak))
     val topk = candidates.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
 
