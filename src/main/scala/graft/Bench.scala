@@ -1,24 +1,149 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.compile.Compiler
+import graft.engine.FilterEngine
+import graft.fixtures.DeterministicGen
+import graft.ofl.Parser
+import graft.ops.{Dedup, Similarity}
+import graft.spatial.SpatialOps
+
+/** Benchmark main (driver contract): one JSON line with total seconds,
+  * per-query seconds, and headline throughputs — filtered elements/sec over
+  * the OFL expression suite and spatial-join rows/sec (BASELINE.md).
+  *
+  * The docs fixture is the deterministic generator at the sf implied by
+  * SPARK_GRAFT_SF_DIR, materialized once as type-partitioned parquet under
+  * target/bench (generation excluded from timings; reads go through the
+  * vectorized parquet scan with partition pruning, like production). */
 object Bench {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Median-of-3 with one discarded warm-up (BASELINE.md protocol). */
+  private def median3[A](f: => A): Double = {
+    f // warm
+    val ts = Seq(time(f), time(f), time(f)).sorted
+    ts(1)
+  }
+
+  val filterSuite: Seq[String] = Seq(
+    "highway == residential",
+    "highway =~ '_link$'",
+    "@tags[@key =^ 'addr:'] >= 2",
+    "@id in (3, 141, 723, 1025, 2216, 3333, 4021, 5209, 6300, 7777, 8888, 9999, 10001, 20002, 30003, 40004, 50005, 60006, 70007, 80008)",
+    "@way and highway == residential and @version >= 2",
+    "@closed_way or (@relation and 'type' == 'multipolygon')",
+    "not (highway or building or landuse)",
+    "@nodes[@ref > 0] > 10",
+    "@user =^ 'a' or @uid > 2500",
+    "@members[@role == 'inner'] > 0")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+
+    // --- materialize the docs fixture once (excluded from timings) ---------
+    // BASELINE.md ladder: ~600k elements at sf=0.1 → 10× the unit-test count
+    val benchCount = DeterministicGen.elementCount(sf * 10)
+    val docsPath = s"/root/repo/target/bench/docs_n$benchCount"
+    if (!new java.io.File(docsPath + "/_SUCCESS").exists()) {
+      DeterministicGen.docsDF(spark, sf * 10)
+        .repartition(col("type"))
+        .write.mode("overwrite").partitionBy("type").parquet(docsPath)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val docs = spark.read.parquet(docsPath)
+    val nDocs = docs.count()
+    val view = graft.model.OsmView.derive(docs)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // --- OFL filter suite ---------------------------------------------------
+    var filterTotal = 0.0
+    filterSuite.zipWithIndex.foreach { case (exprSrc, i) =>
+      val pred = Compiler.compileEffective(Parser.parse(exprSrc))
+      val t = median3(view.filter(pred).count())
+      results(s"filter_$i") = t
+      filterTotal += t
+    }
+    val filterEps = nDocs.toDouble * filterSuite.size / filterTotal
+
+    results("complete_ways") = time(
+      FilterEngine.completeWays(docs, "highway == residential").count())
+
+    // --- spatial ------------------------------------------------------------
+    val nodes = view.filter(col("type") === "node")
+      .select(col("doc_id"), col("lat"), col("lon")).cache()
+    val nNodes = nodes.count()
+
+    val polys = DeterministicGen.polygons()
+      .map(p => (p.polygon_id, p.rings.map(_.map { case (la, lo) => (la, lo) })))
+      .toDF("polygon_id", "rings")
+      .withColumn("rings", col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+    val tPip = median3(SpatialOps.polygonJoin(nodes, polys, level = 13).count())
+    results("spatial_pip_join") = tPip
+
+    val queries = DeterministicGen.hotspots.zipWithIndex.flatMap { case ((la, lo), i) =>
+      (0 until 33).map(j => ((i * 33 + j).toLong, la + j * 0.003, lo + j * 0.002))
+    }.toDF("query_id", "lat", "lon")
+    results("spatial_knn") = time(
+      SpatialOps.knn(nodes, queries, k = 10, level = 10, maxRing = 2).count())
+
+    val tiles = DeterministicGen.rasterTiles(level = 12)
+      .map(t => (t.cell, t.level)).toDF("cell", "tile_level")
+    results("spatial_tile_join") = time(
+      SpatialOps.tileJoin(nodes, tiles, pointLevel = 16, tileLevel = 12).count())
+
+    results("spatial_cell_density") = time(
+      SpatialOps.cellDensity(nodes.withColumn("doc_id", col("doc_id")), 12).count())
+
+    val spatialRps = nNodes.toDouble * 2 / (tPip + results("spatial_tile_join"))
+
+    // --- training-data ops ----------------------------------------------------
+    val documents = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    documents.count()
+    results("dedup_exact") = time(
+      Dedup.exactDedup(documents, col("text"), col("doc_id")).count())
+    results("dedup_minhash_lsh") = time(
+      Dedup.minhashDupPairs(documents, col("text"), col("doc_id"),
+        ngram = 3, numHashes = 16, bands = 4, threshold = 0.5).count())
+    results("dedup_simhash") = time(
+      Dedup.simhashDupPairs(documents, col("text"), col("doc_id"),
+        bands = 4, maxHamming = 6).count())
+    results("text_analysis") = time(
+      documents.select(
+        graft.ops.TextOps.tokenCountWs(col("text")),
+        graft.ops.TextOps.tokenCountBpe(col("text")),
+        graft.ops.TextOps.qualityScore(col("text")),
+        graft.ops.TextOps.langId(col("text"))).count())
+
+    val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    embeddings.count()
+    val embQ = embeddings.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    results("sim_brute_topk") = time(Similarity.bruteTopK(embeddings, embQ, 10).count())
+    results("sim_lsh_ann") = time(
+      Similarity.lshTopK(embeddings, embQ, 10, dim = 64, bits = 8, probes = 8).count())
+
+    // --- emit ------------------------------------------------------------------
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f}""")
     spark.stop()
   }
 }

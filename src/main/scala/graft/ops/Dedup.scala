@@ -119,6 +119,24 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash as a distributed aggregation: explode tokens → xxhash64 →
+    * hash-aggregate 64 per-bit vote sums → recombine bits. Equivalent to
+    * [[simhash]] but stays in whole-stage codegen (the HOF `aggregate`
+    * version is CodegenFallback and ~20× slower per row); the groupBy is a
+    * map-side-combined shuffle on the doc key, which is the scalable shape.
+    * Returns (key, sim). */
+  def simhashDF(docs: DataFrame, textCol: Column, keyCol: Column): DataFrame = {
+    val tokens = filter(split(lower(trim(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val exploded = docs.select(keyCol.as("key"), explode_outer(tokens).as("tok"))
+      .select(col("key"), xxhash64(col("tok")).as("h"), col("tok").isNotNull.as("has"))
+    val sums = (0 until 64).map(b => sum(when(col("has"),
+      when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))).as(s"s$b"))
+    val agg = exploded.groupBy("key").agg(sums.head, sums.tail: _*)
+    val bits = (0 until 64).map(b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+    agg.select(col("key"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+  }
+
   /** SimHash near-dup pairs: split the 64-bit simhash into `bands`
     * contiguous chunks (static shifts, codegen'd); docs sharing any chunk
     * are candidates; verify by Hamming distance ≤ maxHamming. Same
@@ -128,7 +146,7 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val s = docs.select(keyCol.as("key"), simhash(textCol).as("sim"))
+    val s = simhashDF(docs, textCol, keyCol)
     val bandCols = (0 until bands).map(b =>
       shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(mask)))
     val banded = s.select(col("key"), col("sim"), posexplode(array(bandCols: _*)))

@@ -104,6 +104,16 @@ class OpsSpec extends AnyFunSuite {
     assert(seededFound >= 15, s"simhash found only $seededFound/20 seeded pairs")
   }
 
+  test("distributed simhashDF equals the HOF simhash column") {
+    val sample = documents.select("doc_id", "text").limit(100)
+    val hof = sample.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.simhashDF(sample, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === hof)
+  }
+
   test("brute-force cosine top-k equals driver-side ground truth") {
     val vecs = embeddings.collect().map(r =>
       r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
