@@ -1,0 +1,92 @@
+package graft.engine
+
+import graft.compile.Compiler
+
+/** spark-submit CLI mirroring the reference driver's surface
+  * (src/main.cpp:32-57):
+  *
+  * {{{
+  * spark-submit --class graft.engine.Main graft.jar \
+  *   [-e EXPR | -E exprfile] [-o OUT] [-n] [-v] [-w|--complete-ways] \
+  *   [--checkpoint ROOT --job NAME --parts N] INPUT
+  * }}}
+  *
+  * -n dry-run parses+analyzes only; -v prints the golden expression tree and
+  * entity mask (main.cpp:118-139). INPUT is a docs-table parquet path
+  * (optionally type-partitioned); OUT is written in input order.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    var expression = ""
+    var exprFile = ""
+    var input = ""
+    var output = ""
+    var verbose = false
+    var dryRun = false
+    var completeWays = false
+    var checkpointRoot = ""
+    var jobName = "filter"
+    var parts = 32
+
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-e" | "--expression"      => expression = args(i + 1); i += 2
+        case "-E" | "--expression-file" => exprFile = args(i + 1); i += 2
+        case "-o" | "--output"          => output = args(i + 1); i += 2
+        case "-v" | "--verbose"         => verbose = true; i += 1
+        case "-n" | "--dry-run"         => dryRun = true; i += 1
+        case "-w" | "--complete-ways"   => completeWays = true; i += 1
+        case "--checkpoint"             => checkpointRoot = args(i + 1); i += 2
+        case "--job"                    => jobName = args(i + 1); i += 2
+        case "--parts"                  => parts = args(i + 1).toInt; i += 2
+        case "-h" | "--help" =>
+          System.out.println(
+            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT, -n dry-run, -v verbose, -w complete-ways, --checkpoint ROOT [--job NAME --parts N]")
+          return
+        case other => input = other; i += 1
+      }
+    }
+    if (expression.nonEmpty && exprFile.nonEmpty) {
+      System.err.println("Do not use --expression/-e and --expression-file/-E together")
+      sys.exit(2)
+    }
+    if (exprFile.nonEmpty)
+      expression = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(exprFile)), "UTF-8")
+
+    val q = try FilterEngine.parse(expression) catch {
+      case e: graft.ofl.OflParseException =>
+        System.err.println("Error parsing filter expression:")
+        System.err.println(e.input)
+        if (e.pos >= 0) System.err.println(" " * e.pos + "^")
+        sys.exit(1); return
+    }
+
+    if (q.neverMatches) {
+      System.err.println("Filter expression can never match. Stopping.")
+      sys.exit(1)
+    }
+    if (verbose) System.err.print(q.explain)
+    if (dryRun) return
+
+    val spark = FilterEngine.session(
+      sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+    val docs = spark.read.parquet(input)
+    val filtered =
+      if (completeWays) FilterEngine.completeWays(docs, expression)
+      else if (checkpointRoot.nonEmpty) {
+        val (df, manifests) = Checkpoint.filterJob(spark, docs, expression,
+          checkpointRoot, jobName, parts, inputFingerprint = input)
+        manifests.foreach(m => System.err.println(
+          s"part=${m.part} rows_in=${m.rowsIn} rows_out=${m.rowsOut} wall_ms=${m.wallMs}"))
+        df
+      } else FilterEngine.filter(docs, expression, Compiler.fileLoader(
+        name => java.nio.file.Paths.get(name)))
+
+    if (output.nonEmpty) FilterEngine.writeOrdered(filtered, output)
+    else System.out.println(filtered.count())
+    spark.stop()
+  }
+}

@@ -40,12 +40,32 @@ object DeterministicGen {
 
   /** Deterministic element stream. Ways draw node refs from already-emitted
     * node ids; ~1% of ids are negative (uint64 id-set wrap cases). */
-  def elements(sf: Double, seed: Long = Seed): Vector[OsmElement] = {
-    val rng = new Random(seed)
-    val n = elementCount(sf)
+  def elements(sf: Double, seed: Long = Seed): Vector[OsmElement] =
+    genChunk(new Random(seed), elementCount(sf), idStart = 1L, seqStart = 0L)
+
+  /** Deterministic DISTRIBUTED generation: each of `parts` chunks is an
+    * independent seeded stream with disjoint id/seq ranges, generated on
+    * executors — the scale path for multi-million-row bench fixtures (the
+    * sequential generator would bottleneck on the driver). Output differs
+    * from [[elements]] streams but is equally deterministic for a given
+    * (seed, n, parts). */
+  def distributedDocs(spark: SparkSession, n: Long, parts: Int,
+                      seed: Long = Seed): DataFrame = {
+    import spark.implicits._
+    val per = (n + parts - 1) / parts
+    spark.range(0, parts, 1, parts).as[Long].flatMap { p =>
+      val count = math.min(per, n - p * per).toInt
+      genChunk(new Random(seed ^ (p * 0x9e3779b97f4a7c15L)), count,
+        idStart = p * per * 4 + 1, seqStart = p * per)
+        .map(_.toDocRow)
+    }.toDF()
+  }
+
+  private def genChunk(rng: Random, n: Int, idStart: Long,
+                       seqStart: Long): Vector[OsmElement] = {
     val nodeIds = new scala.collection.mutable.ArrayBuffer[Long](n)
     val out = Vector.newBuilder[OsmElement]
-    var nextId = 1L
+    var nextId = idStart
     var i = 0
     while (i < n) {
       val roll = rng.nextDouble()
@@ -115,7 +135,7 @@ object DeterministicGen {
 
       if (otype == "node") nodeIds += id
       out += OsmElement(otype, id, version, visible, changeset, uid, user, ts,
-        lat, lon, tags, nds, members, media, i.toLong)
+        lat, lon, tags, nds, members, media, seqStart + i)
       i += 1
     }
     out.result()

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.compile.Compiler
+import graft.engine.FilterEngine
+import graft.fixtures.DeterministicGen
+import graft.ofl.Parser
+import graft.spatial.SpatialOps
+
+/** Scaling-efficiency evidence run (BASELINE.md): the SAME jobs on the SAME
+  * 6M-document fixture at two parallelism levels (the sandbox stand-in for
+  * N vs 4N executors). The fixture is large enough that fixed costs (job
+  * dispatch, codegen compile ≈0.5 s) are noise against 30 s+ of work.
+  *
+  * Usage: runMain graft.tools.ScalingBench <cpus> [nDocs]
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    // master: "8"/"32" → local[N] (thread mode), or a full master string like
+    // "local-cluster[2,4,6144]" → separate executor PROCESSES (the faithful
+    // N-executors stand-in; single-JVM thread mode hits a GC/runtime ceiling
+    // well below 32 threads on this host)
+    val masterArg = if (args.nonEmpty) args(0) else "8"
+    val master = if (masterArg.forall(_.isDigit)) s"local[$masterArg]" else masterArg
+    val cores: Int = "local-cluster\\[(\\d+),(\\d+),".r.findFirstMatchIn(master)
+      .map(m => m.group(1).toInt * m.group(2).toInt)
+      .orElse("local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt))
+      .getOrElse(8)
+    val n = if (args.length > 1) args(1).toLong else 6000000L
+    val jdk17Opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+      "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val builder = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+    val spark = (if (master.startsWith("local-cluster")) {
+      val jar = new java.io.File("target/scala-2.13")
+        .listFiles().filter(_.getName.endsWith(".jar")).maxBy(_.lastModified).getAbsolutePath
+      builder
+        .config("spark.jars", jar)
+        .config("spark.executor.memory", "5g")
+        .config("spark.executor.extraJavaOptions", jdk17Opens)
+    } else builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsPath = s"/root/repo/target/bench/docs_dist_n$n"
+    val viewPath = docsPath + "_view"
+    if (!new java.io.File(viewPath + "/_SUCCESS").exists()) {
+      DeterministicGen.distributedDocs(spark, n, parts = 128)
+        .write.mode("overwrite").partitionBy("type").parquet(docsPath)
+      FilterEngine.materializeView(spark.read.parquet(docsPath), viewPath)
+    }
+    val view = spark.read.parquet(viewPath)
+    val nDocs = view.count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm: JIT + codegen on a small slice
+    graft.Bench.filterSuite.foreach { e =>
+      view.limit(1000).filter(Compiler.compileEffective(Parser.parse(e))).count()
+    }
+
+    def suiteOnce(): Unit =
+      graft.Bench.filterSuite.foreach { e =>
+        view.filter(Compiler.compileEffective(Parser.parse(e))).count()
+      }
+    // best-of-3: per-run JIT/GC hiccups dominate variance in this sandbox
+    val tFilter = Seq(time(suiteOnce()), time(suiteOnce()), time(suiteOnce())).min
+    val filterEps = nDocs.toDouble * graft.Bench.filterSuite.size / tFilter
+
+    import spark.implicits._
+    val nodes = view.filter(col("type") === "node")
+      .select(col("doc_id"), col("lat"), col("lon"))
+    val nNodes = nodes.count()
+    val polys = DeterministicGen.polygons()
+      .map(p => (p.polygon_id, p.rings.map(_.map { case (la, lo) => (la, lo) })))
+      .toDF("polygon_id", "rings")
+      .withColumn("rings", col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+    def spatialOnce(): Unit = {
+      SpatialOps.polygonJoin(nodes, polys, level = 13).count()
+      SpatialOps.tileJoin(nodes,
+        DeterministicGen.rasterTiles(level = 12).map(t => (t.cell, t.level))
+          .toDF("cell", "tile_level"), pointLevel = 16, tileLevel = 12).count()
+      SpatialOps.cellDensity(nodes, 12).count()
+    }
+    val tSpatial = Seq(time(spatialOnce()), time(spatialOnce())).min
+    val spatialRps = nNodes.toDouble * 3 / tSpatial
+
+    println(f"""{"scaling_probe":true,"master":"$master","cores":$cores,"docs":$nDocs,"filter_sec":$tFilter%.2f,"filter_elements_per_sec":$filterEps%.0f,"spatial_sec":$tSpatial%.2f,"spatial_rows_per_sec":$spatialRps%.0f}""")
+    spark.stop()
+  }
+}

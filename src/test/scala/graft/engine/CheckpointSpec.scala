@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.fixtures.DeterministicGen
+
+/** Checkpoint/resume semantics: interrupted runs resume from committed
+  * partition manifests; lineage changes invalidate; row-count metrics are
+  * conserved. */
+class CheckpointSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private lazy val docs = DeterministicGen.docsDF(spark, 0.001).cache()
+  private val expr = "highway == residential or @closed_way"
+
+  test("interrupted run resumes: only pending buckets recompute, result equals plain filter") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+    // run 1: simulate preemption after 3 of 8 buckets
+    val (_, m1) = Checkpoint.filterJob(spark, docs, expr, root, "j1",
+      parts = 8, inputFingerprint = "fixture-0.001", maxPartsThisRun = 3)
+    assert(m1.count(_.lineage != "PENDING") === 3)
+    assert(m1.count(_.lineage == "PENDING") === 5)
+
+    // run 2: resume — completes the rest, does not recompute committed parts
+    val committedWall = m1.filter(_.lineage != "PENDING").map(m => m.part -> m.wallMs).toMap
+    val (result, m2) = Checkpoint.filterJob(spark, docs, expr, root, "j1",
+      parts = 8, inputFingerprint = "fixture-0.001")
+    assert(m2.forall(_.lineage != "PENDING"))
+    committedWall.foreach { case (p, wall) =>
+      assert(m2.find(_.part == p).get.wallMs === wall, "committed manifest untouched")
+    }
+
+    val expected = FilterEngine.filter(docs, expr)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val got = result.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got === expected)
+
+    // row-count conservation: sum(rows_in) = input size, sum(rows_out) = |result|
+    assert(m2.map(_.rowsIn).sum === docs.count())
+    assert(m2.map(_.rowsOut).sum === expected.size.toLong)
+  }
+
+  test("changed predicate or input fingerprint invalidates committed buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val (_, m1) = Checkpoint.filterJob(spark, docs, expr, root, "j2",
+      parts = 4, inputFingerprint = "fp-a")
+    val l1 = m1.head.lineage
+    // same job id, different predicate → different lineage → recompute
+    val (_, m2) = Checkpoint.filterJob(spark, docs, "@relation", root, "j2",
+      parts = 4, inputFingerprint = "fp-a")
+    assert(m2.head.lineage !== l1)
+    // different input fingerprint → recompute too
+    val (_, m3) = Checkpoint.filterJob(spark, docs, "@relation", root, "j2",
+      parts = 4, inputFingerprint = "fp-b")
+    assert(m3.head.lineage !== m2.head.lineage)
+  }
+}
