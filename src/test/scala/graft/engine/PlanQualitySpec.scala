@@ -1,0 +1,81 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.compile.Compiler
+import graft.fixtures.DeterministicGen
+import graft.ofl.Parser
+import graft.spatial.SpatialOps
+
+/** Physical-plan quality pins: these are the properties that make the plans
+  * survive a 100 TB scale-up — filter pushdown into the parquet scan, column
+  * pruning, partition pruning from the entity mask, broadcast for the small
+  * join sides, and whole-stage codegen around the scalar predicate path. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val viewPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-view").toString
+    FilterEngine.materializeView(DeterministicGen.docsDF(spark, 0.001), dir)
+    dir
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scalar predicates push down into the typed-view parquet scan") {
+    val view = spark.read.parquet(viewPath)
+    val p = plan(FilterEngine.filterView(view, "@version >= 2 and @uid > 100"))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(version,2"), s"missing pushdown in:\n$p")
+    assert(p.contains("GreaterThan(uid,100"), s"uid pushdown missing in:\n$p")
+  }
+
+  test("entity mask becomes a partition filter on the type-partitioned view") {
+    val view = spark.read.parquet(viewPath)
+    val p = plan(FilterEngine.filterView(view, "@closed_way"))
+    assert(p.contains("PartitionFilters:") && p.contains("type#"),
+      s"missing partition filter in:\n$p")
+  }
+
+  test("column pruning: an id-only query reads only the columns it needs") {
+    val view = spark.read.parquet(viewPath)
+    val df = FilterEngine.filterView(view, "@id > 100").select("id")
+    val p = plan(df)
+    val readSchema = "ReadSchema: ([^\\n]+)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("id"), p)
+    assert(!readSchema.contains("spans"), s"spans not pruned: $readSchema")
+    assert(!readSchema.contains("tags"), s"tags not pruned: $readSchema")
+  }
+
+  test("whole-stage codegen covers the scalar filter path") {
+    val view = spark.read.parquet(viewPath)
+    val p = plan(FilterEngine.filterView(view, "@version >= 2 and @id != 7"))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(p.contains("*(1) Filter"), s"no codegen span in:\n$p")
+  }
+
+  test("polygon join broadcasts the polygon side") {
+    val nodes = spark.read.parquet(viewPath)
+      .filter(col("type") === "node").select("doc_id", "lat", "lon")
+    val polys = DeterministicGen.polygons()
+      .map(p => (p.polygon_id, p.rings.map(_.map { case (la, lo) => (la, lo) })))
+      .toDF("polygon_id", "rings")
+      .withColumn("rings", col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+    val p = plan(SpatialOps.polygonJoin(nodes, polys, level = 13))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"polygon side not broadcast in:\n$p")
+  }
+
+  test("complete-ways wanted-ids side is adaptive (AQE decides broadcast at runtime)") {
+    val docs = DeterministicGen.docsDF(spark, 0.001)
+    val df = FilterEngine.completeWays(docs, "highway == primary")
+    df.count() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan"), s"AQE not active in:\n$p")
+    assert(p.contains("LeftSemi"), s"not a semi join in:\n$p")
+  }
+}
