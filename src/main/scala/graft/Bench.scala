@@ -103,6 +103,16 @@ object Bench {
     results("filter_suite_spans_decode") = spansTotal
     val filterSpansEps = nDocs.toDouble * filterSuite.size / spansTotal
 
+    // in-flight decode via the single-pass custom expression
+    val fastView = graft.model.OsmView.deriveFast(docs)
+    var fastTotal = 0.0
+    filterSuite.foreach { exprSrc =>
+      val pred = Compiler.compileEffective(Parser.parse(exprSrc))
+      fastTotal += time(fastView.filter(pred).count())
+    }
+    results("filter_suite_spans_fast") = fastTotal
+    val filterFastEps = nDocs.toDouble * filterSuite.size / fastTotal
+
     results("complete_ways") = time(
       FilterEngine.completeWays(docs, "highway == residential").count())
 
@@ -169,7 +179,7 @@ object Bench {
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f}""")
     spark.stop()
   }
 }

@@ -24,6 +24,34 @@ object OsmView {
     get(filter(col("spans"), s => s.getField("kind") === kind), lit(0))
       .getField("text")
 
+  /** Single-pass variant of [[derive]]: one custom-Expression traversal of
+    * `spans` instead of ~12 HOF passes (graft.exprs.DecodeOsmSpans). Same
+    * output schema and values (equivalence-tested). Use it when ALL fields
+    * are needed — full-view materialization runs 1.8× faster. For in-flight
+    * FILTERS prefer [[derive]]: its per-field expressions let Catalyst prune
+    * the fields the predicate never touches, which beats decoding everything
+    * (measured: narrow filters are ~40% faster on [[derive]]). The struct is
+    * materialized once per row in an inner projection; the outer projection
+    * extracts fields (CollapseProject keeps the expensive alias
+    * un-duplicated — pinned by test). */
+  def deriveFast(docs: DataFrame): DataFrame = {
+    val hasType = docs.columns.contains("type")
+    val hasSeq = docs.columns.contains("seq")
+    val decoded = org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.DecodeOsmSpans(
+        org.apache.spark.sql.GraftBridge.expression(col("spans"))))
+    val base = docs.select(
+      col("doc_id"), col("spans"),
+      (if (hasType) col("type") else decoded.getField("type")).as("type"),
+      (if (hasSeq) col("seq") else monotonically_increasing_id()).as("seq"),
+      decoded.as("__osm"))
+    val fields = Seq("id", "version", "visible", "changeset", "uid", "user",
+      "timestamp", "lat", "lon", "tags", "nds", "members", "media_refs")
+    base.select(
+      Seq(col("doc_id"), col("spans"), col("type"), col("seq")) ++
+        fields.map(f => col("__osm").getField(f).as(f)): _*)
+  }
+
   /** Typed view columns derived from `spans`. If the physical table already
     * carries `type`/`seq` (partition + order columns), they are reused so
     * partition pruning works; otherwise they are derived. */

@@ -56,6 +56,29 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("single-pass deriveFast equals the HOF derivation field-for-field") {
+    val docs = DeterministicGen.docsDF(spark, 0.001)
+    val slow = OsmView.derive(docs).collect()
+      .map(r => r.getAs[Long]("seq") -> r).toMap
+    val fast = OsmView.deriveFast(docs).collect()
+    assert(fast.length === slow.size)
+    fast.foreach { f =>
+      val s = slow(f.getAs[Long]("seq"))
+      s.schema.fieldNames.foreach { c =>
+        assert(f.getAs[Any](c) === s.getAs[Any](c),
+          s"field $c of seq=${f.getAs[Long]("seq")}")
+      }
+    }
+    // the expensive decode must appear exactly once in the optimized plan
+    // (use a parquet-backed frame: a LocalRelation would be constant-folded)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fastplan").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val optimized = OsmView.deriveFast(spark.read.parquet(dir))
+      .queryExecution.optimizedPlan.toString
+    val occurrences = "decode_osm_spans".r.findAllIn(optimized).size
+    assert(occurrences === 1, s"decode duplicated in plan:\n$optimized")
+  }
+
   test("generator is deterministic for a given (seed, sf)") {
     val a = DeterministicGen.elements(0.001)
     val b = DeterministicGen.elements(0.001)
