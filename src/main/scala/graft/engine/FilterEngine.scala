@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.compile.Compiler
 import graft.model.OsmView
@@ -85,6 +85,62 @@ object FilterEngine {
   def materializeView(docs: DataFrame, path: String): Unit =
     OsmView.deriveFast(docs) // single-pass decode: 1.8× the HOF derivation here
       .write.mode("overwrite").partitionBy("type").parquet(path)
+
+  /** Scale path for huge id-list files: `ATTR in (<'file')` compiled as an
+    * InSet probe replicates the whole set into every task (exactly like the
+    * reference's in-memory IdSetDense, hpp:1549-1559 — and with the same
+    * memory ceiling). Above `semiJoinThreshold` ids, a top-level conjunct of
+    * the form `@attr in (<'file')` (or `not …`) is instead planned as a
+    * distributed left-semi (left-anti) join against a parallelized id table,
+    * which AQE broadcasts or shuffles by size; the remaining conjuncts
+    * compile to the usual predicate Column. Only top-level conjuncts are
+    * extracted — a file list under `or`/counting keeps the InSet plan
+    * (documented limitation; matches how such filters are actually used). */
+  def filterPlanned(view: DataFrame, expression: String,
+                    idLoader: Compiler.IdListLoader,
+                    semiJoinThreshold: Int = 100000): DataFrame = {
+    import graft.ofl._
+    val q = parse(expression)
+    if (q.neverMatches)
+      throw new OflTypeException("Filter expression can never match")
+    val conjuncts = q.ast match {
+      case And(cs) => cs
+      case other   => Vector(other)
+    }
+    val spark = view.sparkSession
+    import spark.implicits._
+
+    def attrCol(a: Expr): Option[Column] = a match {
+      case IntAttrExpr(IntAttr.Id)        => Some(col("id"))
+      case IntAttrExpr(IntAttr.Version)   => Some(col("version"))
+      case IntAttrExpr(IntAttr.Changeset) => Some(col("changeset"))
+      case IntAttrExpr(IntAttr.Uid)       => Some(col("uid"))
+      case _                              => None
+    }
+
+    val (joins, residual) = conjuncts.partition {
+      case InIntList(a, _, _, Some(f)) =>
+        attrCol(a).isDefined && idLoader(f).size > semiJoinThreshold
+      case _ => false
+    }
+
+    var out = view
+    joins.foreach { case InIntList(a, op, _, Some(f)) =>
+      val ids = idLoader(f).toSeq.toDF("__id")
+      val joinType = if (op == ListOp.In) "left_semi" else "left_anti"
+      out = out.join(ids, attrCol(a).get === col("__id"), joinType)
+    case _ => ()
+    }
+    val residualExpr =
+      if (residual.isEmpty) BoolLit(true)
+      else if (residual.size == 1) residual.head else And(residual.toVector)
+    // entity mask comes from the FULL expression (join conjuncts included)
+    val masked = Compiler.pruningPredicate(q.ast) match {
+      case Some(p) => out.filter(p)
+      case None    => out
+    }
+    masked.filter(Compiler.compile(residualExpr, idLoader))
+  }
 
   /** Filter over a materialized typed view (see [[materializeView]]):
     * same compiled predicate, no span decode on the hot path. */
