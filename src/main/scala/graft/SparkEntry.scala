@@ -154,6 +154,24 @@ object SparkEntry {
          |SELECT CAST(query_id AS BIGINT) AS query_id, id FROM ranked WHERE rn <= 5
          |ORDER BY query_id, id""".stripMargin,
 
+    "spatial_tile_join" ->
+      s"""WITH p AS (
+         |  SELECT id,
+         |    CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) // 64 AS cx,
+         |    CAST(floor((90.0 - lat) / 180.0 * 4096.0) AS BIGINT) // 64 AS cy
+         |  FROM ($nodesP) n),
+         |t AS (
+         |  SELECT p_partkey,
+         |    CAST(floor((plon + 180.0) / 360.0 * 64.0) AS BIGINT) AS cx,
+         |    CAST(floor((90.0 - plat) / 180.0 * 64.0) AS BIGINT) AS cy
+         |  FROM (
+         |    SELECT p_partkey,
+         |      ((p_partkey * 7919) % 17000 * 100000 - 850000000) / 10000000.0 AS plat,
+         |      ((p_partkey * 104729) % 36000 * 100000 - 1800000000) / 10000000.0 AS plon
+         |    FROM part) q)
+         |SELECT p.id, t.p_partkey FROM p JOIN t ON p.cx = t.cx AND p.cy = t.cy
+         |ORDER BY id, p_partkey""".stripMargin,
+
     "spatial_tile_assign" ->
       s"""SELECT id,
          |  CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) // 64 AS cx,

@@ -113,6 +113,20 @@ object Queries {
         .select(col("query_id"), col("id"))
         .orderBy("query_id", "id")
     },
+    "spatial_tile_join" -> { (spark, sfDir) =>
+      // raster side: tiles derived from `part` at level 6; vector side:
+      // order-derived nodes at level 12, joined on the parent-cell prefix
+      val k = col("p_partkey")
+      val plat = ((k * 7919) % 17000 * 100000L - 850000000L) / 1e7
+      val plon = ((k * 104729) % 36000 * 100000L - 1800000000L) / 1e7
+      val tiles = spark.read.parquet(s"$sfDir/part.parquet")
+        .select(col("p_partkey"),
+          SpatialOps.cellId(plat, plon, 6).as("cell"))
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      SpatialOps.tileJoin(nodes, tiles, pointLevel = 12, tileLevel = 6)
+        .select(col("id"), col("p_partkey")).orderBy("id", "p_partkey")
+    },
     "spatial_tile_assign" -> { (spark, sfDir) =>
       val nodes = TpchOsm.view(spark, sfDir)
         .filter(col("type") === "node")
