@@ -157,8 +157,11 @@ object SpatialOps {
     val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
       .withColumn("dist_m", dist)
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col(tieBreak))
+    // cached: the fallback existence check below would otherwise recompute
+    // the whole candidate join + window for the final result
     val topk = candidates.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
+      .cache()
 
     // exact fallback for under-filled queries (rare; empty at sane levels)
     val counts = topk.groupBy("query_id").count()

@@ -70,6 +70,10 @@ class FilterEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("driver entry (flagship query) returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("partition pruning reaches the parquet scan for type-restricted filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
     docs.write.mode("overwrite").partitionBy("type").parquet(dir)
