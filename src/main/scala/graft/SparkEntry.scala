@@ -229,6 +229,27 @@ object SparkEntry {
         |WHERE j >= 0.4
         |ORDER BY key_a, key_b""".stripMargin,
 
+    "dedup_jaccard3" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 30),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])) END AS sh
+        |  FROM t)
+        |SELECT key_a, key_b, round(j, 4) AS j4 FROM (
+        |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |         len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |           len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id) x
+        |WHERE j >= 0.005
+        |ORDER BY key_a, key_b""".stripMargin,
+
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
         |scored AS (

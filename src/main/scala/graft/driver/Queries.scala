@@ -158,6 +158,14 @@ object Queries {
       Dedup.exactDedup(docs, substring(col("text"), 1, 40), col("doc_id"))
         .select("doc_id").orderBy("doc_id")
     },
+    "dedup_jaccard3" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 30)
+      Dedup.jaccardDupPairs(docs, col("text"), col("doc_id"),
+        ngram = 3, threshold = 0.005)
+        .select(col("key_a"), col("key_b"), round(col("jaccard"), 4).as("j4"))
+        .orderBy("key_a", "key_b")
+    },
     "dedup_jaccard1" -> { (spark, sfDir) =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("doc_id") < 40)
@@ -194,6 +202,22 @@ object Queries {
       Dedup.simhashDupPairs(docs, col("text"), col("doc_id"),
         bands = 4, maxHamming = 8)
         .orderBy("key_a", "key_b")
+    },
+    "sim_ivf_ann" -> { (spark, sfDir) =>
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, 10, dim = 64, nCentroids = 16, nProbe = 4)
+        .select("query_id", "vec_id", "rn").orderBy("query_id", "rn")
+    },
+    "sim_cosine_dups" -> { (spark, sfDir) =>
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // seed exact duplicates so the near-dup path always has work
+      val dups = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+      Similarity.cosineDupPairs(emb.unionByName(dups), col("vec_id"),
+        threshold = 0.999, dim = 64, bits = 8)
+        .select(col("key_a"), col("key_b")).orderBy("key_a", "key_b")
     },
     "sim_lsh_ann" -> { (spark, sfDir) =>
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -81,6 +81,73 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rn")
   }
 
+  // --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
+
+  private def dotLit(emb: Column, v: Array[Double]): Column =
+    aggregate(zip_with(emb, array(v.map(lit): _*), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Nearest-centroid id (centroids pre-normalized, so argmax dot ≡ argmax
+    * cosine). array_max over (score, -idx) structs keeps ties deterministic. */
+  private def assignCol(emb: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dotLit(emb, c).as("s"), lit(-i).as("ni"))
+    }: _*)).getField("ni") * -1
+
+  /** k-means coarse quantizer, trained distributed: deterministic seeded
+    * init, `iters` Lloyd rounds (assign via broadcast-literal dot products,
+    * recenter via posexplode + per-(centroid, dim) average). Centroid count
+    * and dims are small; the heavy side (corpus) is never collected. */
+  def ivfCentroids(corpus: DataFrame, dim: Int, nCentroids: Int,
+                   iters: Int = 2, seed: Long = 42L): Array[Array[Double]] = {
+    var cents = hyperplanes(dim, nCentroids, seed).map(normalize)
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .withColumn("cid", assignCol(col("embedding"), cents))
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos").agg(avg("col").as("v"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Number]("cid").intValue())(r.getAs[Int]("pos")) =
+          r.getAs[Double]("v")
+      }
+      cents = next.map(normalize)
+    }
+    cents
+  }
+
+  /** IVF ANN top-k: corpus bucketed by nearest centroid; each query probes
+    * its `nProbe` best centroids and exact-ranks only those buckets. The
+    * probe list is computed as a sorted literal-centroid score array —
+    * all pure Columns, queries broadcast. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(corpus, dim, nCentroids, iters, seed)
+    val bucketed = corpus.withColumn("cid", assignCol(col("embedding"), cents))
+    val scoreArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dotLit(col("q_emb"), c).as("s"), lit(-i).as("ni"))
+    }: _*)
+    val probes = queries
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(scoreArr)), 1, nProbe)))
+      .withColumn("cid", col("probe").getField("ni") * -1)
+      .drop("probe")
+    val scored = bucketed.join(broadcast(probes), Seq("cid"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cos", "rn")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucket
     * self-join + exact verify (no cross product). */
   def cosineDupPairs(corpus: DataFrame, keyCol: Column, threshold: Double,

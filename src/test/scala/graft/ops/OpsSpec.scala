@@ -161,6 +161,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 >= 0.7, s"hamming-2 recall $r2")
   }
 
+  test("IVF ANN: nProbe=all is exact; small nProbe keeps useful recall") {
+    val queries = embeddings.limit(10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteTopK(embeddings, queries, 10)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    def recall(nProbe: Int): Double = {
+      val ann = Similarity.ivfTopK(embeddings, queries, 10, dim = 64,
+        nCentroids = 8, nProbe = nProbe)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      val rs = exact.map { case (q, ex) =>
+        ann.get(q).map(a => a.intersect(ex).size.toDouble / ex.size).getOrElse(0.0) }
+      rs.sum / rs.size
+    }
+    assert(recall(8) === 1.0, "probing every centroid must be exact")
+    val r2 = recall(3)
+    assert(r2 >= 0.5, s"nProbe=3/8 recall $r2")
+  }
+
   test("embedding cosine near-dup pairs are verified-correct") {
     // seed: duplicate 10 vectors exactly (cos = 1)
     val dups = embeddings.limit(10)
