@@ -185,11 +185,17 @@ object Compiler {
         case StrOp.NotMatch => !lc.rlike(regexPattern(r, ci = false))
       }
 
+    // Object-context-only nodes: the reference defines eval_bool(OSMObject)
+    // ONLY for these (hpp:1342/1390/1457/1561) — inside @tags/@nodes/
+    // @members sub-expressions it throws at eval time; we reject at compile
+    // time (documented fail-earlier deviation).
     case HasKey(k) =>
+      requireObj(ctx, s"has-key [$k]")
       exists(col("tags"), t => t.getField("key") === k)
 
     // missing key ⇒ false for BOTH == and != (hpp:1390-1397)
     case CheckTagStr(k, op, v) =>
+      requireObj(ctx, s"tag check [$k]")
       val tv = tagValue(k)
       op match {
         case StrOp.Eq => coalesce(tv === v, lit(false))
@@ -199,6 +205,7 @@ object Compiler {
 
     // missing key ⇒ false for both =~ and !~ (hpp:1457-1464)
     case CheckTagRegex(k, op, pat, ci) =>
+      requireObj(ctx, s"tag regex check [$k]")
       val tv = tagValue(k)
       val p = if (ci) "(?i)" + pat else pat
       op match {
@@ -208,6 +215,7 @@ object Compiler {
       }
 
     case InIntList(attr, op, values, fromFile) =>
+      requireObj(ctx, "in-list")
       val a = int(attr, ctx, ld)
       val vs: Seq[Long] = fromFile match {
         case Some(f) => ld(f).toSeq.sorted

@@ -67,11 +67,13 @@ object Checkpoint {
   def filterJob(spark: SparkSession, docs: DataFrame, expression: String,
                 root: String, job: String, parts: Int = 8,
                 inputFingerprint: String = "",
-                maxPartsThisRun: Int = Int.MaxValue): (DataFrame, Seq[Manifest]) = {
+                maxPartsThisRun: Int = Int.MaxValue,
+                idLoader: graft.compile.Compiler.IdListLoader =
+                  graft.compile.Compiler.noFiles): (DataFrame, Seq[Manifest]) = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val lineage = lineageKey(inputFingerprint, expression, parts)
     val pred = graft.compile.Compiler.compileEffective(
-      graft.ofl.Parser.parse(expression))
+      graft.ofl.Parser.parse(expression), idLoader)
     val view = graft.model.OsmView.derive(docs)
       .withColumn("__part", pmod(xxhash64(col("doc_id")), lit(parts)))
 

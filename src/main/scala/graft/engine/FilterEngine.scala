@@ -118,15 +118,20 @@ object FilterEngine {
       case _                              => None
     }
 
+    // load each file once (they can be huge — that's why this path exists)
+    val loaded = scala.collection.mutable.Map.empty[String, Set[Long]]
+    val cachingLoader: Compiler.IdListLoader =
+      f => loaded.getOrElseUpdate(f, idLoader(f))
+
     val (joins, residual) = conjuncts.partition {
       case InIntList(a, _, _, Some(f)) =>
-        attrCol(a).isDefined && idLoader(f).size > semiJoinThreshold
+        attrCol(a).isDefined && cachingLoader(f).size > semiJoinThreshold
       case _ => false
     }
 
     var out = view
     joins.foreach { case InIntList(a, op, _, Some(f)) =>
-      val ids = idLoader(f).toSeq.toDF("__id")
+      val ids = cachingLoader(f).toSeq.toDF("__id")
       val joinType = if (op == ListOp.In) "left_semi" else "left_anti"
       out = out.join(ids, attrCol(a).get === col("__id"), joinType)
     case _ => ()
@@ -139,7 +144,7 @@ object FilterEngine {
       case Some(p) => out.filter(p)
       case None    => out
     }
-    masked.filter(Compiler.compile(residualExpr, idLoader))
+    masked.filter(Compiler.compile(residualExpr, cachingLoader))
   }
 
   /** Filter over a materialized typed view (see [[materializeView]]):

@@ -29,18 +29,25 @@ object Main {
     var jobName = "filter"
     var parts = 32
 
+    def argValue(i: Int): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"Missing value for ${args(i)}")
+        sys.exit(2)
+      }
+      args(i + 1)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-e" | "--expression"      => expression = args(i + 1); i += 2
-        case "-E" | "--expression-file" => exprFile = args(i + 1); i += 2
-        case "-o" | "--output"          => output = args(i + 1); i += 2
+        case "-e" | "--expression"      => expression = argValue(i); i += 2
+        case "-E" | "--expression-file" => exprFile = argValue(i); i += 2
+        case "-o" | "--output"          => output = argValue(i); i += 2
         case "-v" | "--verbose"         => verbose = true; i += 1
         case "-n" | "--dry-run"         => dryRun = true; i += 1
         case "-w" | "--complete-ways"   => completeWays = true; i += 1
-        case "--checkpoint"             => checkpointRoot = args(i + 1); i += 2
-        case "--job"                    => jobName = args(i + 1); i += 2
-        case "--parts"                  => parts = args(i + 1).toInt; i += 2
+        case "--checkpoint"             => checkpointRoot = argValue(i); i += 2
+        case "--job"                    => jobName = argValue(i); i += 2
+        case "--parts"                  => parts = argValue(i).toInt; i += 2
         case "-h" | "--help" =>
           System.out.println(
             "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT, -n dry-run, -v verbose, -w complete-ways, --checkpoint ROOT [--job NAME --parts N]")
@@ -74,16 +81,17 @@ object Main {
     val spark = FilterEngine.session(
       sys.env.getOrElse("SPARK_MASTER", "local[32]"))
     val docs = spark.read.parquet(input)
+    val loader = Compiler.fileLoader(name => java.nio.file.Paths.get(name))
     val filtered =
-      if (completeWays) FilterEngine.completeWays(docs, expression)
+      if (completeWays) FilterEngine.completeWays(docs, expression, loader)
       else if (checkpointRoot.nonEmpty) {
         val (df, manifests) = Checkpoint.filterJob(spark, docs, expression,
-          checkpointRoot, jobName, parts, inputFingerprint = input)
+          checkpointRoot, jobName, parts, inputFingerprint = input,
+          idLoader = loader)
         manifests.foreach(m => System.err.println(
           s"part=${m.part} rows_in=${m.rowsIn} rows_out=${m.rowsOut} wall_ms=${m.wallMs}"))
         df
-      } else FilterEngine.filter(docs, expression, Compiler.fileLoader(
-        name => java.nio.file.Paths.get(name)))
+      } else FilterEngine.filter(docs, expression, loader)
 
     if (output.nonEmpty) FilterEngine.writeOrdered(filtered, output)
     else System.out.println(filtered.count())

@@ -93,7 +93,12 @@ object Pretty {
             sb.append("VALUES[")
             // Reference prints the raw uint64 pattern (IdSetSmall<uint64_t>):
             // negative int64 literals appear as their two's-complement value.
-            val u = values.map(v => java.lang.Long.toUnsignedString(v))
+            // IdSetSmall::set skips a value equal to the LAST inserted one,
+            // so consecutive duplicates collapse in the print.
+            val dedup = values.foldLeft(Vector.empty[Long]) { (acc, v) =>
+              if (acc.nonEmpty && acc.last == v) acc else acc :+ v
+            }
+            val u = dedup.map(v => java.lang.Long.toUnsignedString(v))
             sb.append(u.take(5).mkString(", "))
             if (u.length > 5) sb.append(", ...")
             sb.append("]\n")

@@ -38,9 +38,12 @@ object Dedup {
         i => concat_ws(" ", slice(tokens, i, lit(n))))))
   }
 
-  /** Exact n-gram Jaccard similarity of two shingle-set columns. */
+  /** Exact n-gram Jaccard similarity of two shingle-set columns. Both-empty
+    * is null (pair dropped), matching the SQL-oracle convention (0/0) and
+    * avoiding an ANSI divide-by-zero; token-less exact duplicates are the
+    * exact-dedup operator's job, not a similarity score. */
   def jaccard(a: Column, b: Column): Column =
-    when(size(a) === 0 && size(b) === 0, lit(1.0))
+    when(size(a) === 0 && size(b) === 0, lit(null).cast("double"))
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)))
 

@@ -140,11 +140,34 @@ object SpatialOps {
     (0 to maxRing).flatMap(d => ZCell.ring(c, d))
   }
 
+  /** Edges of the region covered by rings 0..maxRing around the point's
+    * cell, as (latTop, latBot, lonLeft, lonRight); null = that side reaches
+    * a pole / wraps fully, so no uncovered region lies beyond it. Lon edges
+    * are returned UNWRAPPED (may exceed ±180): trig metrics are periodic,
+    * and planar metrics measure unwrapped offsets — both stay correct. */
+  private def coverEdgesUdf(level: Int, maxRing: Int) = udf { (lat: Double, lon: Double) =>
+    val c = ZCell.encode(lat, lon, level)
+    val n = 1 << level
+    val cx = ZCell.x(c); val cy = ZCell.y(c)
+    val latTop = if (cy - maxRing <= 0) None
+      else Some(90.0 - (cy - maxRing).toDouble / n * 180.0)
+    val latBot = if (cy + maxRing >= n - 1) None
+      else Some(90.0 - (cy + maxRing + 1).toDouble / n * 180.0)
+    val fullWrap = 2 * maxRing + 1 >= n
+    val lonLeft = if (fullWrap) None
+      else Some((cx - maxRing).toDouble / n * 360.0 - 180.0)
+    val lonRight = if (fullWrap) None
+      else Some((cx + maxRing + 1).toDouble / n * 360.0 - 180.0)
+    (latTop, latBot, lonLeft, lonRight)
+  }
+
   /** k nearest points for each query row (query_id, lat, lon): ring-expanded
-    * candidate cells (broadcast query side) + exact haversine re-rank with a
-    * per-query window top-k. Queries that found fewer than k candidates
-    * within `maxRing` rings fall back to an exact scan (correctness never
-    * depends on the ring radius). */
+    * candidate cells (broadcast query side) + exact re-rank with a per-query
+    * window top-k. EXACTNESS GUARANTEE: a query's ring result is kept only
+    * when its kth candidate distance is ≤ the distance to the boundary of
+    * the covered region (≥ k candidates alone does NOT imply the true k
+    * nearest are inside the rings); all other queries fall back to an exact
+    * scan. Two candidate computations (decision + final), no caching. */
   def knn(points: DataFrame, queries: DataFrame, k: Int,
           level: Int = 10, maxRing: Int = 2,
           metric: (Column, Column, Column, Column) => Column = haversineMeters,
@@ -157,23 +180,33 @@ object SpatialOps {
     val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
       .withColumn("dist_m", dist)
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col(tieBreak))
-    // cached: the fallback existence check below would otherwise recompute
-    // the whole candidate join + window for the final result
     val topk = candidates.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
-      .cache()
 
-    // exact fallback for under-filled queries (rare; empty at sane levels)
-    val counts = topk.groupBy("query_id").count()
-    val unsat = q.join(counts.filter(col("count") >= k), Seq("query_id"), "left_anti")
-    if (unsat.isEmpty) topk
+    // per-query decision: perpendicular distance to each uncovered-side edge
+    // (a lower bound on the distance to any point outside the cover)
+    val edges = coverEdgesUdf(level, maxRing)(col("qlat"), col("qlon"))
+    val dBound = least(
+      metric(col("qlat"), col("qlon"), col("edges").getField("_1"), col("qlon")),
+      metric(col("qlat"), col("qlon"), col("edges").getField("_2"), col("qlon")),
+      metric(col("qlat"), col("qlon"), col("qlat"), col("edges").getField("_3")),
+      metric(col("qlat"), col("qlon"), col("qlat"), col("edges").getField("_4")))
+    val stats = topk.groupBy("query_id")
+      .agg(count(lit(1)).as("cnt"), max(col("dist_m")).as("kth"))
+    val unsatIds = q.withColumn("edges", edges)
+      .join(stats, Seq("query_id"), "left")
+      .filter(col("cnt").isNull || col("cnt") < k ||
+        (dBound.isNotNull && col("kth") > dBound))
+      .select("query_id").collect().map(_.get(0)).toSeq
+
+    if (unsatIds.isEmpty) topk
     else {
-      val brute = points.crossJoin(broadcast(unsat))
+      val unsatQ = q.filter(col("query_id").isin(unsatIds: _*))
+      val brute = points.crossJoin(broadcast(unsatQ))
         .withColumn("dist_m", dist)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k).drop("rn")
-      topk.join(broadcast(unsat.select("query_id")), Seq("query_id"), "left_anti")
-        .unionByName(brute)
+      topk.filter(!col("query_id").isin(unsatIds: _*)).unionByName(brute)
     }
   }
 

@@ -126,6 +126,26 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got === Set("way"))
   }
 
+  test("object-only nodes inside sub-expressions are rejected at compile time") {
+    // the reference defines eval_bool(OSMObject) ONLY for has-key/tag-check/
+    // in-list (hpp:1342/1390/1457/1561) and throws at eval time in nested
+    // contexts; we reject at compile time (documented fail-earlier policy)
+    Seq("@tags[highway] > 0",
+        "@tags[highway == residential] > 0",
+        "@tags[name =~ 'x'] > 0",
+        "@nodes[@ref in (1, 2)] > 0",
+        "@members[highway] > 0").foreach { src =>
+      intercept[graft.ofl.OflTypeException](
+        Compiler.compile(Parser.parse(src)))
+    }
+  }
+
+  test("pretty print collapses consecutive duplicate list values like IdSetSmall") {
+    import graft.ofl.Pretty
+    assert(Pretty.printNoTrailingNewline(Parser.parse("@id in (5, 5, 3, 5)")) ===
+      "IN_INT_LIST[in]\n INT_ATTR[id]\n VALUES[5, 3, 5]")
+  }
+
   test("never-match expressions are rejected at compile time") {
     val e = intercept[graft.ofl.OflTypeException](
       Compiler.compileEffective(Parser.parse("@node and @way")))

@@ -89,6 +89,10 @@ object OracleEval {
       case _ => throw new OflTypeException("tag check outside object context")
     }
     case InIntList(attr, op, values, fromFile) =>
+      r match {
+        case ObjRow(_) => // eval_bool(OSMObject) only — hpp:1561
+        case _ => throw new OflTypeException("in-list outside object context")
+      }
       val set: Set[Long] = fromFile.map(ld).getOrElse(values.toSet)
       val v = evalInt(attr, r, ld)                       // raw 64-bit pattern
       set.contains(v) == (op == ListOp.In)

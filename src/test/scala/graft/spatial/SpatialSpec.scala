@@ -165,6 +165,36 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("kNN exactness: rings with >= k decoys but a nearer point OUTSIDE the cover") {
+    // Adversarial layout at level 10 (cell ≈ 0.35° edge): the query's cover
+    // (ring ≤ 2) holds 3 decoys near the far NE corner (~1.2° away), while
+    // the true nearest points sit just past the east edge (~0.95°). A
+    // count-only fallback rule would wrongly return the decoys.
+    val level = 10
+    val qlat = 10.0; val qlon = 10.0
+    val c = ZCell.encode(qlat, qlon, level)
+    val (_, _, _, lonMaxCell) = ZCell.bounds(c)
+    val cellDeg = 360.0 / (1 << level)
+    val eastEdge = lonMaxCell + 2 * cellDeg      // east boundary of the cover
+    val pts = Seq(
+      ("decoy1", qlat + 2.4 * cellDeg, qlon + 2.4 * cellDeg),
+      ("decoy2", qlat + 2.4 * cellDeg, qlon + 2.3 * cellDeg),
+      ("decoy3", qlat + 2.3 * cellDeg, qlon + 2.4 * cellDeg),
+      ("near1", qlat, eastEdge + 0.02),          // outside cover, closer
+      ("near2", qlat + 0.01, eastEdge + 0.03))
+    import spark.implicits._
+    val ptsDF = pts.toDF("doc_id", "lat", "lon")
+    val queryDF = Seq((1L, qlat, qlon)).toDF("query_id", "lat", "lon")
+    val planar = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                  cc: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =>
+      (cc - a) * (cc - a) + (d - b) * (d - b)
+    val got = SpatialOps.knn(ptsDF, queryDF, k = 2, level = level, maxRing = 2,
+      metric = planar)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got === Set("near1", "near2"),
+      s"expected the out-of-cover nearest points, got $got")
+  }
+
   test("tile join equals brute-force parent-cell assignment") {
     val tiles = DeterministicGen.rasterTiles(level = 12)
     val tilesDF = tiles.map(t => (t.cell, t.level)).toDF("cell", "tile_level")
