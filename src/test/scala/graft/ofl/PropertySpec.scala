@@ -14,9 +14,14 @@ class PropertySpec extends AnyFunSuite {
 
   private val params = Gen.Parameters.default
 
-  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+  private val sampleScale: Int =
+    sys.env.getOrElse("GRAFT_PROP_SCALE", "1").toInt
+
+  private def samples[T](g: Gen[T], n0: Int): Seq[T] = {
+    val n = n0 * sampleScale
     (1 to n * 3).iterator.flatMap(i => g.apply(params, Seed(i.toLong)))
       .take(n).toSeq
+  }
 
   // --- grammar-reachable AST generator ---------------------------------------
 
