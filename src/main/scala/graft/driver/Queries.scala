@@ -105,11 +105,8 @@ object Queries {
         (3L, 60.005, 160.005)).toDF("query_id", "lat", "lon")
       val nodes = TpchOsm.view(spark, sfDir)
         .filter(col("type") === "node").select("id", "lat", "lon")
-      val planar = (qlat: org.apache.spark.sql.Column, qlon: org.apache.spark.sql.Column,
-                    lat: org.apache.spark.sql.Column, lon: org.apache.spark.sql.Column) =>
-        (lat - qlat) * (lat - qlat) + (lon - qlon) * (lon - qlon)
       SpatialOps.knn(nodes, queries, k = 5, level = 5, maxRing = 2,
-        metric = planar, tieBreak = "id")
+        metric = SpatialOps.PlanarDegrees2Metric, tieBreak = "id")
         .select(col("query_id"), col("id"))
         .orderBy("query_id", "id")
     },

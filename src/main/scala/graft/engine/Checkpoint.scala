@@ -71,9 +71,23 @@ object Checkpoint {
                 idLoader: graft.compile.Compiler.IdListLoader =
                   graft.compile.Compiler.noFiles): (DataFrame, Seq[Manifest]) = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    val lineage = lineageKey(inputFingerprint, expression, parts)
-    val pred = graft.compile.Compiler.compileEffective(
-      graft.ofl.Parser.parse(expression), idLoader)
+    val ast = graft.ofl.Parser.parse(expression)
+    // the expression text names id-list FILES; their CONTENTS are part of
+    // the lineage — otherwise editing the file and resuming would silently
+    // reuse stale committed parts
+    def listFiles(x: Any): Seq[String] = x match {
+      case graft.ofl.InIntList(_, _, _, Some(f)) => Seq(f)
+      case p: Product => p.productIterator.flatMap(listFiles).toSeq
+      case i: Iterable[_] => i.flatMap(listFiles).toSeq
+      case _ => Seq.empty
+    }
+    val fileFp = listFiles(ast).distinct.sorted.map { f =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      idLoader(f).toSeq.sorted.foreach(v => md.update(v.toString.getBytes))
+      f + "=" + md.digest().take(8).map(b => f"$b%02x").mkString
+    }.mkString(",")
+    val lineage = lineageKey(s"$inputFingerprint|$fileFp", expression, parts)
+    val pred = graft.compile.Compiler.compileEffective(ast, idLoader)
     val view = graft.model.OsmView.derive(docs)
       .withColumn("__part", pmod(xxhash64(col("doc_id")), lit(parts)))
 

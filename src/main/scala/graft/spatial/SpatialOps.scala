@@ -161,21 +161,60 @@ object SpatialOps {
     (latTop, latBot, lonLeft, lonRight)
   }
 
+  /** Distance model for kNN: point-to-point distance PLUS true lower bounds
+    * on the distance to a parallel (lat edge) and a meridian (lon edge) —
+    * the boundary bounds must never over-estimate or the exactness guarantee
+    * breaks (e.g. the closest point on a meridian lies poleward of the
+    * query, so a same-latitude projection is an over-estimate on the
+    * sphere). */
+  sealed trait SpatialMetric {
+    def dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column
+    /** ≤ true min distance from (qlat,qlon) to the parallel latEdge. */
+    def toParallel(qlat: Column, qlon: Column, latEdge: Column): Column
+    /** ≤ true min distance from (qlat,qlon) to the meridian lonEdge. */
+    def toMeridian(qlat: Column, qlon: Column, lonEdge: Column): Column
+  }
+
+  /** Great-circle meters. Meridian bound: d = R·asin(cosφ·sin Δλ) (the
+    * cross-track distance to the meridian's great circle — exact for
+    * Δλ ≤ 90°, an under-estimate beyond, which is safe). */
+  case object HaversineMetric extends SpatialMetric {
+    private val R = 6371008.8
+    def dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+      haversineMeters(lat1, lon1, lat2, lon2)
+    def toParallel(qlat: Column, qlon: Column, latEdge: Column): Column =
+      haversineMeters(qlat, qlon, latEdge, qlon) // same-lon projection is exact
+    def toMeridian(qlat: Column, qlon: Column, lonEdge: Column): Column =
+      lit(R) * asin(cos(radians(qlat)) * abs(sin(radians(lonEdge - qlon))))
+  }
+
+  /** Squared planar degrees (for deterministic cross-engine oracles on a
+    * flat model; wrap-ignorant by definition). Edge projections are exact. */
+  case object PlanarDegrees2Metric extends SpatialMetric {
+    def dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+      (lat2 - lat1) * (lat2 - lat1) + (lon2 - lon1) * (lon2 - lon1)
+    def toParallel(qlat: Column, qlon: Column, latEdge: Column): Column =
+      (latEdge - qlat) * (latEdge - qlat)
+    def toMeridian(qlat: Column, qlon: Column, lonEdge: Column): Column =
+      (lonEdge - qlon) * (lonEdge - qlon)
+  }
+
   /** k nearest points for each query row (query_id, lat, lon): ring-expanded
     * candidate cells (broadcast query side) + exact re-rank with a per-query
     * window top-k. EXACTNESS GUARANTEE: a query's ring result is kept only
-    * when its kth candidate distance is ≤ the distance to the boundary of
-    * the covered region (≥ k candidates alone does NOT imply the true k
-    * nearest are inside the rings); all other queries fall back to an exact
-    * scan. Two candidate computations (decision + final), no caching. */
+    * when its kth candidate distance is ≤ a LOWER BOUND on the distance to
+    * the uncovered region's boundary (≥ k candidates alone does NOT imply
+    * the true k nearest are inside the rings); all other queries fall back
+    * to an exact scan. No driver-side materialization of the unsatisfied
+    * set beyond an emptiness check; fallback routing is an anti-join. */
   def knn(points: DataFrame, queries: DataFrame, k: Int,
           level: Int = 10, maxRing: Int = 2,
-          metric: (Column, Column, Column, Column) => Column = haversineMeters,
+          metric: SpatialMetric = HaversineMetric,
           tieBreak: String = "doc_id"): DataFrame = {
     val q = queries.select(col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
     val qCells = q.withColumn("cell", explode(ringCellsUdf(level, maxRing)(col("qlat"), col("qlon"))))
     val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
-    val dist = metric(col("qlat"), col("qlon"), col("lat"), col("lon"))
+    val dist = metric.dist(col("qlat"), col("qlon"), col("lat"), col("lon"))
 
     val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
       .withColumn("dist_m", dist)
@@ -183,30 +222,29 @@ object SpatialOps {
     val topk = candidates.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
 
-    // per-query decision: perpendicular distance to each uncovered-side edge
-    // (a lower bound on the distance to any point outside the cover)
+    // per-query decision: lower-bound distance to each uncovered-side edge
     val edges = coverEdgesUdf(level, maxRing)(col("qlat"), col("qlon"))
     val dBound = least(
-      metric(col("qlat"), col("qlon"), col("edges").getField("_1"), col("qlon")),
-      metric(col("qlat"), col("qlon"), col("edges").getField("_2"), col("qlon")),
-      metric(col("qlat"), col("qlon"), col("qlat"), col("edges").getField("_3")),
-      metric(col("qlat"), col("qlon"), col("qlat"), col("edges").getField("_4")))
+      metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_1")),
+      metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_2")),
+      metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_3")),
+      metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_4")))
     val stats = topk.groupBy("query_id")
       .agg(count(lit(1)).as("cnt"), max(col("dist_m")).as("kth"))
-    val unsatIds = q.withColumn("edges", edges)
+    val unsatQ = q.withColumn("edges", edges)
       .join(stats, Seq("query_id"), "left")
       .filter(col("cnt").isNull || col("cnt") < k ||
         (dBound.isNotNull && col("kth") > dBound))
-      .select("query_id").collect().map(_.get(0)).toSeq
+      .select("query_id", "qlat", "qlon")
 
-    if (unsatIds.isEmpty) topk
+    if (unsatQ.isEmpty) topk
     else {
-      val unsatQ = q.filter(col("query_id").isin(unsatIds: _*))
       val brute = points.crossJoin(broadcast(unsatQ))
         .withColumn("dist_m", dist)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k).drop("rn")
-      topk.filter(!col("query_id").isin(unsatIds: _*)).unionByName(brute)
+      topk.join(broadcast(unsatQ.select("query_id")), Seq("query_id"), "left_anti")
+        .unionByName(brute)
     }
   }
 

@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * aggregation with a watermark, and custom sessionization state via
   * flatMapGroupsWithState — the streaming shapes a training-data ingest
   * pipeline needs (late-data bounding, per-key state with timeout).
-  * Both operate on any DataFrame with the events schema, batch or stream. */
+  * windowedCounts works batch or stream; sessionize is streaming-only
+  * (its sessions emit on event-time timeouts). */
 object EventStreams {
 
   /** Tumbling event-time counts per event_type with a watermark bounding
@@ -26,55 +27,50 @@ object EventStreams {
 
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
                             event_type: String, value: Double)
-  final case class SessionState(firstTs: Long, lastTs: Long, n: Int,
-                                totalValue: Double)
+  final case class EventBuffer(events: Vector[(Long, Double)])
   final case class UserSession(user_id: Long, session_start: Timestamp,
                                session_end: Timestamp, n_events: Int,
                                total_value: Double)
 
-  /** Per-user sessionization with an inactivity gap: events more than
-    * `gapMs` apart start a new session. Sessions close (a) inline when a
-    * later event of the same user arrives past the gap, or (b) via
-    * EVENT-TIME timeout once the watermark passes lastTs+gap — the
-    * KeyValueGroupedDataset + flatMapGroupsWithState shape: per-key bounded
-    * state surviving across micro-batches, late data fenced by the
-    * watermark. Caller must set a watermark on `ts` upstream. */
+  /** Per-user sessionization with an inactivity gap, STREAMING ONLY (batch
+    * execution never fires timeouts, so trailing sessions would be lost —
+    * callers must `writeStream`). Events buffer in per-key state and are
+    * sessionized ONLY when the event-time timeout fires at
+    * maxBufferedTs+gap: by then the watermark guarantees no event can
+    * arrive that is ≤ gap after any buffered event, so every emitted
+    * session is final and out-of-order arrivals within the watermark can
+    * never merge into the wrong session. State size is bounded by one
+    * watermark window of events per key. Caller must set a watermark on
+    * `ts` upstream. */
   def sessionize(events: Dataset[EventRow], gapMs: Long = 30 * 60 * 1000L)
   : Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[EventBuffer, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[EventBuffer]) =>
           if (state.hasTimedOut) {
-            val s = state.get
+            val buffered = state.get.events.sortBy(_._1)
             state.remove()
-            Iterator.single(UserSession(userId, new Timestamp(s.firstTs),
-              new Timestamp(s.lastTs), s.n, s.totalValue))
+            // split the (now-final) buffer into gap-separated sessions
+            val sessions = Vector.newBuilder[UserSession]
+            var cur = Vector.empty[(Long, Double)]
+            def close(): Unit = if (cur.nonEmpty)
+              sessions += UserSession(userId, new Timestamp(cur.head._1),
+                new Timestamp(cur.last._1), cur.size, cur.map(_._2).sum)
+            buffered.foreach { e =>
+              if (cur.nonEmpty && e._1 - cur.last._1 > gapMs) { close(); cur = Vector.empty }
+              cur :+= e
+            }
+            close()
+            sessions.result().iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = Vector.empty[UserSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(SessionState(s.firstTs, math.max(s.lastTs, t),
-                    s.n + 1, s.totalValue + e.value))
-                case Some(s) =>
-                  closed :+= UserSession(userId, new Timestamp(s.firstTs),
-                    new Timestamp(s.lastTs), s.n, s.totalValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
-            }
-            closed.iterator
+            val incoming = rows.map(e => (e.ts.getTime, e.value)).toVector
+            val merged = state.getOption.map(_.events).getOrElse(Vector.empty) ++ incoming
+            state.update(EventBuffer(merged))
+            state.setTimeoutTimestamp(merged.map(_._1).max + gapMs)
+            Iterator.empty
           }
       }
   }

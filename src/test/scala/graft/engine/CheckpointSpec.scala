@@ -55,4 +55,21 @@ class CheckpointSpec extends AnyFunSuite {
       parts = 4, inputFingerprint = "fp-b")
     assert(m3.head.lineage !== m2.head.lineage)
   }
+
+  test("editing an id-list file invalidates the lineage on resume") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    val f = java.nio.file.Files.createTempFile("graft-ckpt-ids", ".txt")
+    f.toFile.deleteOnExit()
+    java.nio.file.Files.writeString(f, "1 2 3")
+    val loader = graft.compile.Compiler.fileLoader(_ => f)
+    val (r1, m1) = Checkpoint.filterJob(spark, docs, "@id in (<'ids')", root, "j3",
+      parts = 2, inputFingerprint = "fp", idLoader = loader)
+    val n1 = r1.count()
+    // same command, edited file contents → different lineage → recompute
+    java.nio.file.Files.writeString(f, "1 2 3 4 5 6 7 8 9 10 11 12")
+    val (r2, m2) = Checkpoint.filterJob(spark, docs, "@id in (<'ids')", root, "j3",
+      parts = 2, inputFingerprint = "fp", idLoader = loader)
+    assert(m2.head.lineage !== m1.head.lineage)
+    assert(r2.count() > n1, "resumed output must reflect the new id list")
+  }
 }

@@ -14,8 +14,15 @@ class PropertySpec extends AnyFunSuite {
 
   private val params = Gen.Parameters.default
 
-  private val sampleScale: Int =
-    sys.env.getOrElse("GRAFT_PROP_SCALE", "1").toInt
+  private val sampleScale: Int = {
+    val raw = sys.env.getOrElse("GRAFT_PROP_SCALE", "1")
+    val v = try raw.toInt catch {
+      case _: NumberFormatException =>
+        fail(s"GRAFT_PROP_SCALE must be a positive integer, got <$raw>")
+    }
+    require(v >= 1, s"GRAFT_PROP_SCALE must be >= 1, got $v")
+    v
+  }
 
   private def samples[T](g: Gen[T], n0: Int): Seq[T] = {
     val n = n0 * sampleScale

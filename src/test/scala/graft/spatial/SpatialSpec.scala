@@ -185,11 +185,8 @@ class SpatialSpec extends AnyFunSuite {
     import spark.implicits._
     val ptsDF = pts.toDF("doc_id", "lat", "lon")
     val queryDF = Seq((1L, qlat, qlon)).toDF("query_id", "lat", "lon")
-    val planar = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-                  cc: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =>
-      (cc - a) * (cc - a) + (d - b) * (d - b)
     val got = SpatialOps.knn(ptsDF, queryDF, k = 2, level = level, maxRing = 2,
-      metric = planar)
+      metric = SpatialOps.PlanarDegrees2Metric)
       .select("doc_id").collect().map(_.getString(0)).toSet
     assert(got === Set("near1", "near2"),
       s"expected the out-of-cover nearest points, got $got")
