@@ -170,6 +170,16 @@ class ParserGoldenSpec extends AnyFunSuite {
       "IN_INT_LIST[in]\n INT_ATTR[id]\n VALUES[1, 2, 3, 4, 5, ...]")
   }
 
+  test("unparse round-trips file lists and i-flag regex forms") {
+    Seq("@id in (<'some file')",
+        "@uid not in (<'ids.txt')",
+        "'highway' =~ 'primary'i and @id in (1, 2)",
+        "@tags[@key =^ 'addr:'] >= 2 or not @visible").foreach { src =>
+      val ast = Parser.parse(src)
+      assert(Parser.parse(Unparse(ast)) === ast, s"via <${Unparse(ast)}>")
+    }
+  }
+
   test("parse errors") {
     // trailing garbage => positioned error (object_filter.cpp:343-345)
     val e1 = intercept[OflParseException](Parser.parse("true ^"))
