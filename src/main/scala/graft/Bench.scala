@@ -94,26 +94,32 @@ object Bench {
     }
     val filterEps = nDocs.toDouble * filterSuite.size / filterTotal
 
-    // same suite decoding spans in-flight (the no-materialization path)
+    // same suite decoding spans in-flight (the no-materialization path).
+    // median3 (warm-up + median of 3) everywhere: one-off Catalyst analysis
+    // + Janino codegen compile of the big decode trees is ~5-10 s per fresh
+    // query and swamped the single-shot r1 numbers; steady-state throughput
+    // is the metric that predicts 100 TB behavior (compile cost is paid once
+    // per query shape, not per byte).
     var spansTotal = 0.0
     filterSuite.foreach { exprSrc =>
       val pred = Compiler.compileEffective(Parser.parse(exprSrc))
-      spansTotal += time(spansView.filter(pred).count())
+      spansTotal += median3(spansView.filter(pred).count())
     }
     results("filter_suite_spans_decode") = spansTotal
     val filterSpansEps = nDocs.toDouble * filterSuite.size / spansTotal
 
-    // in-flight decode via the single-pass custom expression
-    val fastView = graft.model.OsmView.deriveFast(docs)
+    // in-flight decode via the pruned codegen'd expression (the
+    // FilterEngine.filter path): one spans pass per predicate field
+    val fastView = graft.model.OsmView.derivePruned(docs)
     var fastTotal = 0.0
     filterSuite.foreach { exprSrc =>
       val pred = Compiler.compileEffective(Parser.parse(exprSrc))
-      fastTotal += time(fastView.filter(pred).count())
+      fastTotal += median3(fastView.filter(pred).count())
     }
     results("filter_suite_spans_fast") = fastTotal
     val filterFastEps = nDocs.toDouble * filterSuite.size / fastTotal
 
-    results("complete_ways") = time(
+    results("complete_ways") = median3(
       FilterEngine.completeWays(docs, "highway == residential").count())
 
     // --- spatial ------------------------------------------------------------
@@ -134,15 +140,15 @@ object Bench {
     // level 14 (~2.4 km cells): hotspot clusters span many cells, so the
     // candidate set stays small; under-filled sparse queries hit the exact
     // fallback automatically
-    results("spatial_knn") = time(
+    results("spatial_knn") = median3(
       SpatialOps.knn(nodes, queries, k = 10, level = 14, maxRing = 2).count())
 
     val tiles = DeterministicGen.rasterTiles(level = 12)
       .map(t => (t.cell, t.level)).toDF("cell", "tile_level")
-    results("spatial_tile_join") = time(
+    results("spatial_tile_join") = median3(
       SpatialOps.tileJoin(nodes, tiles, pointLevel = 16, tileLevel = 12).count())
 
-    results("spatial_cell_density") = time(
+    results("spatial_cell_density") = median3(
       SpatialOps.cellDensity(nodes.withColumn("doc_id", col("doc_id")), 12).count())
 
     val spatialRps = nNodes.toDouble * 2 / (tPip + results("spatial_tile_join"))
@@ -152,15 +158,15 @@ object Bench {
     val documents = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(cpus.toInt).cache()
     documents.count()
-    results("dedup_exact") = time(
+    results("dedup_exact") = median3(
       Dedup.exactDedup(documents, col("text"), col("doc_id")).count())
-    results("dedup_minhash_lsh") = time(
+    results("dedup_minhash_lsh") = median3(
       Dedup.minhashDupPairs(documents, col("text"), col("doc_id"),
         ngram = 3, numHashes = 16, bands = 4, threshold = 0.5).count())
-    results("dedup_simhash") = time(
+    results("dedup_simhash") = median3(
       Dedup.simhashDupPairs(documents, col("text"), col("doc_id"),
         bands = 4, maxHamming = 6).count())
-    results("text_analysis") = time(
+    results("text_analysis") = median3(
       documents.select(
         graft.ops.TextOps.tokenCountWs(col("text")),
         graft.ops.TextOps.tokenCountBpe(col("text")),
@@ -171,15 +177,20 @@ object Bench {
     embeddings.count()
     val embQ = embeddings.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    results("sim_brute_topk") = time(Similarity.bruteTopK(embeddings, embQ, 10).count())
-    results("sim_lsh_ann") = time(
+    results("sim_brute_topk") = median3(Similarity.bruteTopK(embeddings, embQ, 10).count())
+    results("sim_lsh_ann") = median3(
       Similarity.lshTopK(embeddings, embQ, 10, dim = 64, bits = 8, probes = 8).count())
 
     // --- emit ------------------------------------------------------------------
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f}"""
+    println(json)
+    // belt-and-braces for the driver: a file copy free of any logger prefixing
+    val out = java.nio.file.Paths.get("/root/repo/target/bench/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

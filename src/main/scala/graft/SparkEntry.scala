@@ -105,6 +105,29 @@ object SparkEntry {
          |WHERE regexp_matches(o_orderpriority, '^[12]-') OR o_orderkey % 50 = 7
          |ORDER BY id""".stripMargin,
 
+    "ofl_has_key" ->
+      s"""SELECT $idExpr AS id FROM orders
+         |WHERE o_orderkey % 3 = 0
+         |ORDER BY id""".stripMargin,
+
+    "ofl_regex_ci" ->
+      s"""SELECT $idExpr AS id FROM orders
+         |WHERE regexp_matches(o_orderpriority, '(?i)urgent$$')
+         |ORDER BY id""".stripMargin,
+
+    "ofl_mask_quirk" ->
+      s"""SELECT id, otype FROM (
+         |  SELECT $idExpr AS id, $typExpr AS otype, o_orderkey % 20 AS t,
+         |    2 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS n_tags,
+         |    o_orderkey % 5 + 2
+         |      + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS n_nds
+         |  FROM orders) x
+         |WHERE t >= 14 AND t < 19 AND n_tags > n_nds
+         |ORDER BY id""".stripMargin,
+
     "ofl_complete_ways" ->
       s"""WITH d AS (
          |  SELECT o_orderkey AS k, $typExpr AS otype, $idExpr AS id FROM orders),
@@ -249,6 +272,78 @@ object SparkEntry {
         |  FROM s a, s b WHERE a.doc_id < b.doc_id) x
         |WHERE j >= 0.005
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM documents WHERE doc_id < 40),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM u),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])) END AS sh
+        |  FROM t)
+        |SELECT key_a, key_b, round(j, 4) AS j4 FROM (
+        |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |         len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |           len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id) x
+        |WHERE j >= 0.9
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM documents WHERE doc_id < 40),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_sort(list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                          x -> len(x) > 0)) AS mt
+        |  FROM u)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |FROM t a, t b WHERE a.doc_id < b.doc_id AND a.mt = b.mt
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "sim_cosine_dups" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS key_a, b.vec_id AS key_b
+        |FROM u a, u b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "sim_lsh_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS cos
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, vec_id""".stripMargin,
+
+    "sim_ivf_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS cos
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, vec_id""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),

@@ -72,6 +72,19 @@ object Queries {
     "ofl_user_regex" -> ofl("@user =~ '^[12]-' or not @visible") { v =>
       v.select(col("id")).orderBy("id")
     },
+    // F17: bare key = has-key check (reference hpp:1342)
+    "ofl_has_key" -> ofl("highway") { v =>
+      v.select(col("id")).orderBy("id")
+    },
+    // F19 `i` flag: case-insensitive tag regex (reference hpp:1417-1431)
+    "ofl_regex_ci" -> ofl("priority =~ 'urgent$'i") { v =>
+      v.select(col("id")).orderBy("id")
+    },
+    // entity-mask quirk: `@tags > @nodes` raw-evals true on tagged nodes but
+    // the mask is way-only, so only ways are emitted (main.cpp:182 semantics)
+    "ofl_mask_quirk" -> ofl("@tags > @nodes") { v =>
+      v.select(col("id"), col("type").as("otype")).orderBy("id")
+    },
     "ofl_complete_ways" -> { (spark, sfDir) =>
       FilterEngine.completeWays(TpchOsm.docs(spark, sfDir), "highway == primary")
         .select(col("type").as("otype"), col("id")).orderBy("otype", "id")
@@ -181,35 +194,64 @@ object Queries {
         .select(col("query_id"), col("vec_id")).orderBy("query_id", "vec_id")
     },
 
-    // --- rows-only checks (hash-seeded ops; no ANSI-SQL oracle) ----------------------
+    // --- hash-seeded ops, oracle-checked via exact-metric recomputation --------------
+    // The LSH/SimHash signatures themselves have no ANSI-SQL twin, but each
+    // gate query is parameterized so its OUTPUT equals an exactly
+    // recomputable set: the oracle recomputes the metric (jaccard / token
+    // multiset / cosine / brute top-k) per pair and equality asserts both
+    // threshold correctness and full recall on the seeded duplicates.
     "dedup_minhash_lsh" -> { (spark, sfDir) =>
+      // docs<300 plus exact copies of docs<40: j=1 pairs are guaranteed
+      // candidates (identical signatures in every band); threshold 0.9 sits
+      // in the fixture's jaccard gap (natural pairs are ≥0.954 or ≤0.067),
+      // so output == all pairs with exact 3-gram jaccard ≥ 0.9.
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(col("doc_id") < 300)
-      val seeded = docs.select((col("doc_id") + 900000).as("doc_id"),
-        concat(col("text"), lit(" tail")).as("text")).limit(40)
-      Dedup.minhashDupPairs(
-        docs.select("doc_id", "text").unionByName(seeded),
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val seeded = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      Dedup.minhashDupPairs(docs.unionByName(seeded),
         col("text"), col("doc_id"), ngram = 3, numHashes = 16, bands = 4,
-        threshold = 0.5)
+        threshold = 0.9)
+        .select(col("key_a"), col("key_b"), round(col("jaccard"), 4).as("j4"))
         .orderBy("key_a", "key_b")
     },
     "dedup_simhash" -> { (spark, sfDir) =>
+      // identical token MULTISET ⇒ identical simhash ⇒ hamming 0 ⇒ banded
+      // candidate, so restricting the emitted candidates to multiset-equal
+      // pairs makes the output provably equal the SQL-recomputable set
+      // (sorted-token-list equality); precision stays covered by OpsSpec.
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(col("doc_id") < 300)
-      Dedup.simhashDupPairs(docs, col("text"), col("doc_id"),
-        bands = 4, maxHamming = 8)
-        .orderBy("key_a", "key_b")
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val seeded = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val u = docs.unionByName(seeded)
+      val pairs = Dedup.simhashDupPairs(u, col("text"), col("doc_id"),
+        bands = 4, maxHamming = 3)
+      val toks = u.select(col("doc_id"), sort_array(
+        filter(split(lower(trim(col("text"))), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("mt"))
+      pairs
+        .join(toks.select(col("doc_id").as("key_a"), col("mt").as("mt_a")), "key_a")
+        .join(toks.select(col("doc_id").as("key_b"), col("mt").as("mt_b")), "key_b")
+        .filter(col("mt_a") === col("mt_b"))
+        .select(col("key_a"), col("key_b")).orderBy("key_a", "key_b")
     },
     "sim_ivf_ann" -> { (spark, sfDir) =>
+      // nProbe = nCentroids probes every bucket: the trained quantizer,
+      // assignment, and probe machinery all run, and the result provably
+      // equals brute-force top-k — which the oracle recomputes.
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.ivfTopK(emb, queries, 10, dim = 64, nCentroids = 16, nProbe = 4)
-        .select("query_id", "vec_id", "rn").orderBy("query_id", "rn")
+      Similarity.ivfTopK(emb, queries, 10, dim = 64, nCentroids = 16, nProbe = 16)
+        .select("query_id", "vec_id").orderBy("query_id", "vec_id")
     },
     "sim_cosine_dups" -> { (spark, sfDir) =>
+      // seeded exact-duplicate vectors share LSH signatures (deterministic
+      // function of the embedding), so every cos≥0.999 pair is a guaranteed
+      // candidate (natural max cosine in the fixture is ~0.51): output ==
+      // all pairs with exact cosine ≥ 0.999, recomputed by the oracle.
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      // seed exact duplicates so the near-dup path always has work
       val dups = emb.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
       Similarity.cosineDupPairs(emb.unionByName(dups), col("vec_id"),
@@ -217,11 +259,14 @@ object Queries {
         .select(col("key_a"), col("key_b")).orderBy("key_a", "key_b")
     },
     "sim_lsh_ann" -> { (spark, sfDir) =>
+      // probes = 2^bits - 1 walks the full hamming-order probe sequence —
+      // every bucket is visited, so the multi-probe path provably equals
+      // brute-force top-k, which the oracle recomputes.
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(emb, queries, 10, dim = 64, bits = 4, probes = 10)
-        .select("query_id", "vec_id", "rn").orderBy("query_id", "rn")
+      Similarity.lshTopK(emb, queries, 10, dim = 64, bits = 4, probes = 15)
+        .select("query_id", "vec_id").orderBy("query_id", "vec_id")
     },
     "multimodal_decode" -> { (spark, sfDir) =>
       val docs = TpchOsm.docs(spark, sfDir)

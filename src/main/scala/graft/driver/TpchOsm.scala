@@ -118,7 +118,10 @@ object TpchOsm {
       k.as("seq"))
   }
 
-  /** Typed view over the derivation — full span-codec round trip. */
+  /** Typed view over the derivation — full span-codec round trip, through
+    * the production (pruned codegen'd) decode path so the DuckDB oracles
+    * attest the custom expression, not just the HOF reference derivation
+    * (the two are equivalence-tested in CodecSpec). */
   def view(spark: SparkSession, sfDir: String): DataFrame =
-    graft.model.OsmView.derive(docs(spark, sfDir))
+    graft.model.OsmView.derivePruned(docs(spark, sfDir))
 }

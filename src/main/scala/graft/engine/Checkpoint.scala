@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * committed output is reused; only missing/invalid buckets recompute. The
   * manifest chain doubles as the bench's row-count evidence.
   *
-  * Scale notes: buckets are processed as independent Spark jobs, so a
-  * preempted cluster loses at most one bucket of work; bucket count is the
-  * resume granularity, not the parallelism (each bucket job still fans out
-  * to all executors). Manifests are tiny JSON files next to the data, like
-  * a minimal Iceberg-style snapshot layout.
+  * Scale notes: all pending buckets of a run are computed in ONE pass over
+  * the input (a single partitionBy("__part") write with dynamic partition
+  * overwrite + observe() row counts), never one full scan per bucket — at
+  * 100 TB that is the difference between 1 scan and `parts` scans. Bucket
+  * count is the resume granularity (manifests commit per bucket after the
+  * batch job commits; `maxPartsThisRun` bounds the work a preemption can
+  * lose), not the parallelism — the batch job still fans out to all
+  * executors. Manifests are tiny JSON files next to the data, like a
+  * minimal Iceberg-style snapshot layout.
   */
 object Checkpoint {
 
@@ -30,7 +34,7 @@ object Checkpoint {
     Paths.get(root, job, f"part=$p%05d", "_manifest.json")
 
   private def dataPath(root: String, job: String, p: Int): String =
-    f"$root/$job/part=$p%05d/data"
+    s"$root/$job/data/__part=$p"
 
   private def writeManifest(m: Manifest, root: String): Unit = {
     val p = manifestPath(root, m.job, m.part)
@@ -88,33 +92,58 @@ object Checkpoint {
     }.mkString(",")
     val lineage = lineageKey(s"$inputFingerprint|$fileFp", expression, parts)
     val pred = graft.compile.Compiler.compileEffective(ast, idLoader)
-    val view = graft.model.OsmView.derive(docs)
+    val view = graft.model.OsmView.derivePruned(docs)
       .withColumn("__part", pmod(xxhash64(col("doc_id")), lit(parts)))
 
-    var computed = 0
-    val manifests = (0 until parts).map { p =>
-      readManifest(root, job, p) match {
-        case Some(m) if m.lineage == lineage => m // committed: skip
-        case _ if computed >= maxPartsThisRun =>
-          Manifest(job, p, "PENDING", -1, -1, -1)
-        case _ =>
-          val t0 = System.nanoTime()
-          val bucket = view.filter(col("__part") === p).drop("__part").cache()
-          val rowsIn = bucket.count()
-          val out = bucket.filter(pred)
-            .select("doc_id", "spans", "type", "seq")
-          out.write.mode("overwrite").parquet(dataPath(root, job, p))
-          val rowsOut = spark.read.parquet(dataPath(root, job, p)).count()
-          bucket.unpersist()
-          val m = Manifest(job, p, lineage, rowsIn, rowsOut,
-            (System.nanoTime() - t0) / 1000000)
+    // ONE pass over the input for all pending buckets (not one full scan per
+    // bucket): write partitioned by __part with dynamic partition overwrite
+    // (only the pending partitions are replaced; committed ones are never
+    // touched), and take rows-in/rows-out per bucket from two observe()
+    // points on the same job instead of extra count() scans. Commit
+    // granularity is this run's batch (≤ maxPartsThisRun buckets): manifests
+    // are written only after the job commits, so a preempted run loses at
+    // most one batch and the next invocation recomputes exactly the
+    // manifest-less buckets.
+    val pendingAll = (0 until parts).filter { p =>
+      !readManifest(root, job, p).exists(_.lineage == lineage)
+    }
+    val pending = pendingAll.take(maxPartsThisRun)
+    val fresh: Map[Int, Manifest] =
+      if (pending.isEmpty) Map.empty
+      else {
+        val t0 = System.nanoTime()
+        def perPart(p: Int) = count(when(col("__part") === p, 1)).as(s"p$p")
+        val inObs = org.apache.spark.sql.Observation()
+        val outObs = org.apache.spark.sql.Observation()
+        view.filter(col("__part").isin(pending.map(_.toLong): _*))
+          .observe(inObs, perPart(pending.head), pending.tail.map(perPart): _*)
+          .filter(pred)
+          .observe(outObs, perPart(pending.head), pending.tail.map(perPart): _*)
+          .select(col("doc_id"), col("spans"), col("type"), col("seq"), col("__part"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__part")
+          .parquet(s"$root/$job/data")
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        val ins = inObs.get; val outs = outObs.get
+        pending.map { p =>
+          // wall time is the shared batch wall clock (one job for the batch)
+          val m = Manifest(job, p, lineage, ins(s"p$p").asInstanceOf[Long],
+            outs(s"p$p").asInstanceOf[Long], wallMs)
           writeManifest(m, root)
-          computed += 1
-          m
+          p -> m
+        }.toMap
       }
+
+    val manifests = (0 until parts).map { p =>
+      fresh.get(p)
+        .orElse(readManifest(root, job, p).filter(_.lineage == lineage))
+        .getOrElse(Manifest(job, p, "PENDING", -1, -1, -1))
     }
 
-    val done = manifests.filter(_.lineage == lineage)
+    // zero-output buckets have a manifest but no partition directory
+    // (dynamic overwrite writes nothing for them) — skip them on read
+    val done = manifests.filter(m => m.lineage == lineage && m.rowsOut > 0)
     val result =
       if (done.isEmpty) spark.emptyDataFrame
       else done.map(m => spark.read.parquet(dataPath(root, job, m.part)))

@@ -36,7 +36,9 @@ object FilterEngine {
     val q = parse(expression)
     if (q.neverMatches)
       throw new OflTypeException("Filter expression can never match") // main.cpp:114-117
-    OsmView.derive(docs).filter(Compiler.compileEffective(q.ast, idLoader))
+    // pruned decode: the predicate pays one codegen'd spans pass per field it
+    // references instead of the full HOF derivation (~40× on BENCH_r01)
+    OsmView.derivePruned(docs).filter(Compiler.compileEffective(q.ast, idLoader))
   }
 
   /** `--complete-ways` two-pass semi-join (reference main.cpp:143-180):
@@ -60,7 +62,10 @@ object FilterEngine {
       .select(explode(col("nds")).as("ref"))
       .select(lit("node").as("type"), abs(col("ref")).as("pid"))
     val wanted = selfIds.union(ndIds).distinct()
-    OsmView.derive(docs)
+    // pass 2 is also pruned-decode: the semi-join touches only (type, id), so
+    // the rescan decodes two fields per row; consumers that then select more
+    // columns pay only the passes for the columns they actually read
+    OsmView.derivePruned(docs)
       .withColumn("pid", abs(col("id")))
       .join(wanted, Seq("type", "pid"), "left_semi")
       .drop("pid")
@@ -68,12 +73,25 @@ object FilterEngine {
 
   /** Write surviving rows in input order (reference preserves input order
     * byte-exactly; Spark output order is nondeterministic without an
-    * explicit sort — SURVEY.md §7.4 #4). The docs-contract columns only. */
-  def writeOrdered(filtered: DataFrame, outPath: String): Unit =
-    filtered.select("doc_id", "spans", "type", "seq")
+    * explicit sort — SURVEY.md §7.4 #4). The docs-contract columns only.
+    * `format` is the Spark-world analog of the reference's `-f` output
+    * format switch (main.cpp:59-61,88-90): parquet (default), json, or csv
+    * (csv cannot carry nested arrays, so `spans` is JSON-encoded there). */
+  def writeOrdered(filtered: DataFrame, outPath: String,
+                   format: String = "parquet"): Unit = {
+    val ordered = filtered.select("doc_id", "spans", "type", "seq")
       .orderBy("seq")
-      .write.mode("overwrite")
-      .parquet(outPath)
+    format match {
+      case "parquet" => ordered.write.mode("overwrite").parquet(outPath)
+      case "json"    => ordered.write.mode("overwrite").json(outPath)
+      case "csv" =>
+        ordered.withColumn("spans", to_json(col("spans")))
+          .write.mode("overwrite").option("header", "true").csv(outPath)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported output format '$other' (parquet|json|csv)")
+    }
+  }
 
   /** Materializes the typed OSM view as a type-partitioned columnar
     * projection. The spans→view derivation is ~12 higher-order-function

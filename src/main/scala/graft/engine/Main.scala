@@ -28,6 +28,8 @@ object Main {
     var checkpointRoot = ""
     var jobName = "filter"
     var parts = 32
+    var outputFormat = "parquet"
+    var progress = false
 
     def argValue(i: Int): String = {
       if (i + 1 >= args.length) {
@@ -42,6 +44,8 @@ object Main {
         case "-e" | "--expression"      => expression = argValue(i); i += 2
         case "-E" | "--expression-file" => exprFile = argValue(i); i += 2
         case "-o" | "--output"          => output = argValue(i); i += 2
+        case "-f" | "--output-format"   => outputFormat = argValue(i); i += 2
+        case "--progress"               => progress = true; i += 1
         case "-v" | "--verbose"         => verbose = true; i += 1
         case "-n" | "--dry-run"         => dryRun = true; i += 1
         case "-w" | "--complete-ways"   => completeWays = true; i += 1
@@ -50,7 +54,7 @@ object Main {
         case "--parts"                  => parts = argValue(i).toInt; i += 2
         case "-h" | "--help" =>
           System.out.println(
-            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT, -n dry-run, -v verbose, -w complete-ways, --checkpoint ROOT [--job NAME --parts N]")
+            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT, -f parquet|json|csv, -n dry-run, -v verbose, -w complete-ways, --progress, --checkpoint ROOT [--job NAME --parts N]")
           return
         case other => input = other; i += 1
       }
@@ -68,6 +72,12 @@ object Main {
         System.err.println("Error parsing filter expression:")
         System.err.println(e.input)
         if (e.pos >= 0) System.err.println(" " * e.pos + "^")
+        // expectation diagnostic, reference on_error<fail> shape
+        // (object_filter.cpp:310-317): ERROR: Expecting <rule> here: "<rest>"
+        e.expecting.foreach { case (_, at) =>
+          System.err.println(" " * math.min(at, e.input.length) + "^")
+          System.err.println(e.getMessage)
+        }
         sys.exit(1); return
     }
 
@@ -80,6 +90,9 @@ object Main {
 
     val spark = FilterEngine.session(
       sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+    // live scan progress (reference ProgressBar, main.cpp:168-189): a
+    // SparkListener ticking completed/total tasks per stage to stderr
+    if (progress) spark.sparkContext.addSparkListener(new ProgressListener)
     val docs = spark.read.parquet(input)
     val loader = Compiler.fileLoader(name => java.nio.file.Paths.get(name))
     val filtered =
@@ -93,8 +106,28 @@ object Main {
         df
       } else FilterEngine.filter(docs, expression, loader)
 
-    if (output.nonEmpty) FilterEngine.writeOrdered(filtered, output)
+    if (output.nonEmpty) FilterEngine.writeOrdered(filtered, output, outputFormat)
     else System.out.println(filtered.count())
+    if (progress) System.err.println()
     spark.stop()
   }
+}
+
+/** Live progress ticker — the Spark-native analog of the reference's
+  * osmium::ProgressBar (main.cpp:168-189): one stderr line updated in place
+  * with completed/total tasks of the currently running stage. */
+private[engine] class ProgressListener
+  extends org.apache.spark.scheduler.SparkListener {
+  private var total = 0
+  private var doneTasks = 0
+  override def onStageSubmitted(
+      s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+    synchronized { total = s.stageInfo.numTasks; doneTasks = 0 }
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    synchronized {
+      doneTasks += 1
+      val pct = if (total == 0) 100 else doneTasks * 100 / total
+      System.err.print(s"\rstage ${t.stageId}: $doneTasks/$total tasks ($pct%) ")
+    }
 }

@@ -52,6 +52,36 @@ object OsmView {
         fields.map(f => col("__osm").getField(f).as(f)): _*)
   }
 
+  /** Pruned-decode view: every typed column is its OWN single-field
+    * [[graft.exprs.DecodeOsmSpans]] pass (mask = that field's bit), so
+    * Catalyst column pruning removes whole decode passes for columns a query
+    * never touches — a filter on `@version >= 2` decodes only `version`.
+    * Each pass is whole-stage-codegen'd (static-call `doGenCode`), unlike
+    * the HOF derivation in [[derive]] whose per-field array lambdas are
+    * CodegenFallback. A predicate touching k fields pays k tight linear
+    * scans of the spans array; for the narrow predicates filters actually
+    * use, that beats one full-decode pass ([[deriveFast]], which parses all
+    * 14 fields including tag/member string splits). This is the in-flight
+    * filter path ([[graft.engine.FilterEngine.filter]]); materialization
+    * wants [[deriveFast]]. */
+  def derivePruned(docs: DataFrame): DataFrame = {
+    val hasType = docs.columns.contains("type")
+    val hasSeq = docs.columns.contains("seq")
+    def dec(bit: Int): Column = org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.DecodeOsmSpans(
+        org.apache.spark.sql.GraftBridge.expression(col("spans")), bit))
+    def f(name: String, bit: Int): Column = dec(bit).getField(name).as(name)
+    val fields = graft.exprs.SpanDecode.fieldBits.collect {
+      case (name, bit) if name != "type" => f(name, bit)
+    }
+    docs.select(
+      Seq(col("doc_id"), col("spans"),
+        (if (hasType) col("type")
+         else dec(graft.exprs.SpanDecode.FType).getField("type")).as("type"),
+        (if (hasSeq) col("seq") else monotonically_increasing_id()).as("seq")) ++
+        fields: _*)
+  }
+
   /** Typed view columns derived from `spans`. If the physical table already
     * carries `type`/`seq` (partition + order columns), they are reused so
     * partition pruning works; otherwise they are derived. */

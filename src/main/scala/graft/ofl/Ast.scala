@@ -164,11 +164,22 @@ final case class InIntList(attr: Expr, op: ListOp, values: Vector[Long],
 /** Mirrors the reference's `expression_parser_error` (hpp:1570-1597):
   * pos == -1 for a grammar failure (reference: qi::fail), pos >= 0 for
   * trailing garbage after a successful prefix parse (main path
-  * object_filter.cpp:339-345). */
-final class OflParseException(val input: String, val pos: Int)
+  * object_filter.cpp:339-345). `expecting` carries the expectation-point
+  * diagnostic the reference emits via qi::on_error<fail>
+  * (object_filter.cpp:310-317): the expected rule/token and the position the
+  * expectation failed at; the message reproduces the reference's
+  * `ERROR: Expecting <what> here: "<rest-of-input>"` shape. */
+final class OflParseException(val input: String, val pos: Int,
+                              val expecting: Option[(String, Int)] = None)
   extends RuntimeException(
-    if (pos >= 0) s"Expression parsing error at position $pos"
-    else "Expression parsing error")
+    expecting match {
+      case Some((what, at)) =>
+        "ERROR: Expecting " + what + " here: \"" +
+          input.substring(math.min(math.max(at, 0), input.length)) + "\""
+      case None =>
+        if (pos >= 0) s"Expression parsing error at position $pos"
+        else "Expression parsing error"
+    })
 
 /** Compile-time context/typing error. Deliberate deviation from the
   * reference, which throws at eval time (hpp:293-339); we fail earlier,

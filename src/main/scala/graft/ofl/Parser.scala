@@ -25,7 +25,10 @@ object Parser {
     val s = new State(input)
     val root =
       try s.expression()
-      catch { case ExpectFail => throw new OflParseException(input, -1) }
+      catch {
+        case ExpectFail(what, at) =>
+          throw new OflParseException(input, -1, Some((what, at)))
+      }
     root match {
       case None => throw new OflParseException(input, -1)
       case Some(e) =>
@@ -35,12 +38,19 @@ object Parser {
     }
   }
 
-  /** Expectation failure — aborts the whole parse (Qi `>` + on_error<fail>). */
-  private object ExpectFail extends ControlThrowable
+  /** Expectation failure — aborts the whole parse (Qi `>` + on_error<fail>),
+    * carrying what was expected and where, for the reference-shaped
+    * `ERROR: Expecting <what> here: "<rest>"` diagnostic
+    * (object_filter.cpp:310-317). */
+  private final case class ExpectFail(expected: String, at: Int)
+    extends ControlThrowable
 
   private final class State(val in: String) {
     var pos: Int = 0
     private val len = in.length
+
+    /** Raise an expectation failure at the current (post-skip) position. */
+    def expectFail(what: String): Nothing = { skip(); throw ExpectFail(what, pos) }
 
     // --- skipper: cpp:27-36 ------------------------------------------------
     def skip(): Unit = {
@@ -79,7 +89,7 @@ object Parser {
         pos += 1
         val start = pos
         while (pos < len && in.charAt(pos) != q) pos += 1
-        if (pos >= len) throw ExpectFail // missing closing quote
+        if (pos >= len) throw ExpectFail(s"'$q'", pos) // missing closing quote
         val s = in.substring(start, pos)
         pos += 1
         Some(s)
@@ -242,8 +252,8 @@ object Parser {
     /** `[ expression ]` with expectations, or the implicit TRUE. */
     def subexpression(): Expr = {
       if (lit("[")) {
-        val e = expression().getOrElse(throw ExpectFail)
-        if (!lit("]")) throw ExpectFail
+        val e = expression().getOrElse(expectFail("expression"))
+        if (!lit("]")) expectFail("']'")
         e
       } else BoolLit(true) // static_true: cpp:165
     }
@@ -363,14 +373,14 @@ object Parser {
     // --- factor / term / expression: cpp:281-308 -----------------------------------
     private def parenExpression(): Option[Expr] = {
       if (lit("(")) {
-        val e = expression().getOrElse(throw ExpectFail)
-        if (!lit(")")) throw ExpectFail
+        val e = expression().getOrElse(expectFail("expression"))
+        if (!lit(")")) expectFail("')'")
         Some(e)
       } else None
     }
 
     private def notFactor(): Option[Expr] =
-      if (lit("not")) Some(Not(factor().getOrElse(throw ExpectFail)))
+      if (lit("not")) Some(Not(factor().getOrElse(expectFail("factor"))))
       else None
 
     def factor(): Option[Expr] =

@@ -76,21 +76,27 @@ object Dedup {
     val sig = docs.select(keyCol.as("key"),
       shingles(textCol, ngram).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("key"), col("sh"),
+    // band shuffle carries (key, band, bandhash) ONLY — at 100 TB shipping
+    // the shingle arrays through this self-join twice would dwarf the join
+    // itself; the shingles are re-attached for the surviving candidate pairs
+    // (deduplicated across bands first) by two narrow key joins.
+    val banded = sig.select(col("key"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * perBand + lit(1), lit(perBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
-    val l = banded.select(col("band"), col("bandhash"),
-      col("key").as("key_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bandhash"),
-      col("key").as("key_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bandhash"))
+    val l = banded.select(col("band"), col("bandhash"), col("key").as("key_a"))
+    val r = banded.select(col("band"), col("bandhash"), col("key").as("key_b"))
+    val candidates = l.join(r, Seq("band", "bandhash"))
       .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b").distinct()
+    val shTbl = sig.select(col("key"), col("sh"))
+    candidates
+      .join(shTbl.select(col("key").as("key_a"), col("sh").as("sh_a")), "key_a")
+      .join(shTbl.select(col("key").as("key_b"), col("sh").as("sh_b")), "key_b")
       .select(col("key_a"), col("key_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("key_a", "key_b").agg(first("jaccard").as("jaccard"))
   }
 
   /** All-pairs exact n-gram Jaccard above a threshold (quadratic — the

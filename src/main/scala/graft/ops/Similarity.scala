@@ -62,14 +62,12 @@ object Similarity {
     val c = corpus.withColumn("bucket", lshSignature(col("embedding"), planes))
     val qSig = queries.select(col("query_id"), col("embedding").as("q_emb"))
       .withColumn("sig", lshSignature(col("q_emb"), planes))
-    // multi-probe: the bucket itself + `probes` nearest buckets in signature
-    // hamming order (all 1-bit flips, then 2-bit flips, …)
-    val flips: Seq[Long] = {
-      val oneBit = (0 until bits).map(b => 1L << b)
-      val twoBit = for (i <- 0 until bits; j <- i + 1 until bits)
-        yield (1L << i) | (1L << j)
-      (oneBit ++ twoBit).take(probes)
-    }
+    // multi-probe: the bucket itself + `probes` nearest buckets in full
+    // signature hamming order (1-bit flips, 2-bit, … up to all bits), so
+    // probes = 2^bits - 1 degrades gracefully to an exact full scan
+    val flips: Seq[Long] = (1 to bits).iterator.flatMap(k =>
+      (0 until bits).combinations(k).map(_.map(1L << _).sum))
+      .take(probes).toSeq
     val probeCols = lit(0L) +: flips.map(lit(_))
     val qBuckets = qSig.select(col("query_id"), col("q_emb"),
       explode(array(probeCols.map(p => col("sig").bitwiseXOR(p)): _*)).as("bucket"))

@@ -204,48 +204,77 @@ object SpatialOps {
     * window top-k. EXACTNESS GUARANTEE: a query's ring result is kept only
     * when its kth candidate distance is ≤ a LOWER BOUND on the distance to
     * the uncovered region's boundary (≥ k candidates alone does NOT imply
-    * the true k nearest are inside the rings); all other queries fall back
-    * to an exact scan. No driver-side materialization of the unsatisfied
-    * set beyond an emptiness check; fallback routing is an anti-join. */
+    * the true k nearest are inside the rings). Queries the first pass cannot
+    * certify retry with the ring radius doubled, up to `widenSteps` times —
+    * each retry is another cell-join over a SHRINKING query set, so a skewed
+    * query batch never forces a full-corpus cross join just because a few
+    * queries sit in sparse regions; only queries still uncertified after the
+    * widening ladder fall back to the exact scan. The per-step unsatisfied
+    * set is localCheckpoint'ed (small — the query side is broadcast-sized by
+    * contract) so step lineages don't compound; driver-side probing stays an
+    * emptiness check per step. */
   def knn(points: DataFrame, queries: DataFrame, k: Int,
           level: Int = 10, maxRing: Int = 2,
           metric: SpatialMetric = HaversineMetric,
-          tieBreak: String = "doc_id"): DataFrame = {
-    val q = queries.select(col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
-    val qCells = q.withColumn("cell", explode(ringCellsUdf(level, maxRing)(col("qlat"), col("qlon"))))
+          tieBreak: String = "doc_id", widenSteps: Int = 2): DataFrame = {
     val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
     val dist = metric.dist(col("qlat"), col("qlon"), col("lat"), col("lon"))
-
-    val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
-      .withColumn("dist_m", dist)
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col(tieBreak))
-    val topk = candidates.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn")
 
-    // per-query decision: lower-bound distance to each uncovered-side edge
-    val edges = coverEdgesUdf(level, maxRing)(col("qlat"), col("qlon"))
-    val dBound = least(
-      metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_1")),
-      metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_2")),
-      metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_3")),
-      metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_4")))
-    val stats = topk.groupBy("query_id")
-      .agg(count(lit(1)).as("cnt"), max(col("dist_m")).as("kth"))
-    val unsatQ = q.withColumn("edges", edges)
-      .join(stats, Seq("query_id"), "left")
-      .filter(col("cnt").isNull || col("cnt") < k ||
-        (dBound.isNotNull && col("kth") > dBound))
-      .select("query_id", "qlat", "qlon")
+    /** One ring pass: (certified top-k, uncertified queries). */
+    def attempt(qs: DataFrame, ring: Int): (DataFrame, DataFrame) = {
+      val qCells = qs.withColumn("cell",
+        explode(ringCellsUdf(level, ring)(col("qlat"), col("qlon"))))
+      val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
+        .withColumn("dist_m", dist)
+      val topk = candidates.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
 
-    if (unsatQ.isEmpty) topk
-    else {
-      val brute = points.crossJoin(broadcast(unsatQ))
+      // per-query decision: lower-bound distance to each uncovered-side edge
+      val edges = coverEdgesUdf(level, ring)(col("qlat"), col("qlon"))
+      val dBound = least(
+        metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_1")),
+        metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_2")),
+        metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_3")),
+        metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_4")))
+      val stats = topk.groupBy("query_id")
+        .agg(count(lit(1)).as("cnt"), max(col("dist_m")).as("kth"))
+      val unsat = qs.withColumn("edges", edges)
+        .join(stats, Seq("query_id"), "left")
+        .filter(col("cnt").isNull || col("cnt") < k ||
+          (dBound.isNotNull && col("kth") > dBound))
+        .select("query_id", "qlat", "qlon")
+      (topk, unsat)
+    }
+
+    var remaining = queries.select(
+      col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
+    var ring = maxRing
+    val pieces = Seq.newBuilder[DataFrame]
+    var step = 0
+    var allSatisfied = false
+    while (step <= widenSteps && !allSatisfied) {
+      val (topk, unsatRaw) = attempt(remaining, ring)
+      val unsat = unsatRaw.localCheckpoint() // small; truncates step lineage
+      if (unsat.isEmpty) {
+        pieces += topk
+        allSatisfied = true
+      } else {
+        pieces += topk.join(broadcast(unsat.select("query_id")),
+          Seq("query_id"), "left_anti")
+        remaining = unsat
+        ring = math.max(ring * 2, ring + 1)
+        step += 1
+      }
+    }
+    if (!allSatisfied) {
+      val brute = points.crossJoin(broadcast(remaining))
         .withColumn("dist_m", dist)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k).drop("rn")
-      topk.join(broadcast(unsatQ.select("query_id")), Seq("query_id"), "left_anti")
-        .unionByName(brute)
+      pieces += brute
     }
+    pieces.result().reduce(_ unionByName _)
   }
 
   // --- raster ↔ vector ---------------------------------------------------------------

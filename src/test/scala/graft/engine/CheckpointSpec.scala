@@ -39,6 +39,12 @@ class CheckpointSpec extends AnyFunSuite {
     // row-count conservation: sum(rows_in) = input size, sum(rows_out) = |result|
     assert(m2.map(_.rowsIn).sum === docs.count())
     assert(m2.map(_.rowsOut).sum === expected.size.toLong)
+
+    // single-pass evidence: each run computes its whole pending batch in ONE
+    // job, so manifests within a batch share the batch wall clock
+    assert(m1.filter(_.lineage != "PENDING").map(_.wallMs).distinct.size === 1)
+    val run2Parts = m1.filter(_.lineage == "PENDING").map(_.part).toSet
+    assert(m2.filter(m => run2Parts(m.part)).map(_.wallMs).distinct.size === 1)
   }
 
   test("changed predicate or input fingerprint invalidates committed buckets") {

@@ -58,6 +58,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*(1) Filter"), s"no codegen span in:\n$p")
   }
 
+  test("in-flight span filter decodes only the fields the predicate touches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    DeterministicGen.docsDF(spark, 0.001).write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val df = FilterEngine.filter(docs, "@version >= 2").select("id")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val masks = "decode_osm_spans\\([^,)]+, (\\d+)\\)".r
+      .findAllMatchIn(optimized).map(_.group(1).toInt).toSet
+    import graft.exprs.SpanDecode._
+    assert(masks === Set(FId, FVersion),
+      s"expected only id+version decode passes, got masks $masks in:\n$optimized")
+    // and the decode path itself runs inside whole-stage codegen
+    val p = plan(df)
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(p).isDefined ||
+      "\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      s"no codegen span around the decode filter in:\n$p")
+  }
+
   test("polygon join broadcasts the polygon side") {
     val nodes = spark.read.parquet(viewPath)
       .filter(col("type") === "node").select("doc_id", "lat", "lon")

@@ -79,6 +79,32 @@ class CodecSpec extends AnyFunSuite {
     assert(occurrences === 1, s"decode duplicated in plan:\n$optimized")
   }
 
+  test("per-field pruned decode equals the HOF derivation field-for-field") {
+    val docs = DeterministicGen.docsDF(spark, 0.001)
+    val slow = OsmView.derive(docs).collect()
+      .map(r => r.getAs[Long]("seq") -> r).toMap
+    val pruned = OsmView.derivePruned(docs).collect()
+    assert(pruned.length === slow.size)
+    pruned.foreach { f =>
+      val s = slow(f.getAs[Long]("seq"))
+      s.schema.fieldNames.foreach { c =>
+        assert(f.getAs[Any](c) === s.getAs[Any](c),
+          s"field $c of seq=${f.getAs[Long]("seq")}")
+      }
+    }
+  }
+
+  test("decode expression is codegen-capable (no CodegenFallback)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback}
+    import graft.exprs.DecodeOsmSpans
+    val expr = DecodeOsmSpans(BoundReference(0,
+      DeterministicGen.docsDF(spark, 0.001).schema("spans").dataType, nullable = true))
+    assert(!expr.isInstanceOf[CodegenFallback])
+    val code = expr.genCode(new CodegenContext) // must not throw
+    assert(code.code.toString.contains("graft.exprs.SpanDecode.decode"))
+  }
+
   test("generator is deterministic for a given (seed, sf)") {
     val a = DeterministicGen.elements(0.001)
     val b = DeterministicGen.elements(0.001)

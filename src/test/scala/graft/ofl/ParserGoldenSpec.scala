@@ -195,4 +195,32 @@ class ParserGoldenSpec extends AnyFunSuite {
     intercept[OflParseException](Parser.parse("@id=17"))
     intercept[OflParseException](Parser.parse("~"))
   }
+
+  test("expectation diagnostics match the reference on_error shape") {
+    // qi::on_error<fail> prints `ERROR: Expecting <what> here: "<rest>"`
+    // (object_filter.cpp:310-317); pin our reproduction of that shape.
+    val e1 = intercept[OflParseException](Parser.parse("(true"))
+    assert(e1.getMessage === "ERROR: Expecting ')' here: \"\"")
+    assert(e1.expecting === Some(("')'", 5)))
+
+    val e2 = intercept[OflParseException](Parser.parse("'abc"))
+    assert(e2.getMessage === "ERROR: Expecting ''' here: \"\"")
+
+    // `@id ==` fails by exhausting alternatives (binary_int_oper_v uses >>
+    // sequences, cpp:255-257) — a plain grammar failure, not an expectation
+    val e3 = intercept[OflParseException](Parser.parse("@id =="))
+    assert(e3.expecting === None)
+    assert(e3.getMessage === "Expression parsing error")
+
+    // unterminated subexpression and dangling not
+    val e4 = intercept[OflParseException](Parser.parse("@tags[@key == 'a'"))
+    assert(e4.getMessage === "ERROR: Expecting ']' here: \"\"")
+    val e5 = intercept[OflParseException](Parser.parse("not"))
+    assert(e5.getMessage === "ERROR: Expecting factor here: \"\"")
+    val e6 = intercept[OflParseException](Parser.parse("(true or false"))
+    assert(e6.getMessage === "ERROR: Expecting ')' here: \"\"")
+    val e7 = intercept[OflParseException](Parser.parse("(highway == residential and"))
+    assert(e7.getMessage === "ERROR: Expecting ')' here: \" and\"" ||
+      e7.getMessage === "ERROR: Expecting ')' here: \"and\"", e7.getMessage)
+  }
 }

@@ -192,6 +192,46 @@ class SpatialSpec extends AnyFunSuite {
       s"expected the out-of-cover nearest points, got $got")
   }
 
+  test("kNN ring widening resolves maxRing-insufficient queries without a cross join") {
+    // Same adversarial layout: the ring-2 cover cannot certify the result
+    // (true nearest lie outside it), but doubling to ring 4 covers and
+    // certifies them — so the widening ladder must finish with NO exact-scan
+    // cross join in the executed plan.
+    val level = 10
+    val qlat = 10.0; val qlon = 10.0
+    val c = ZCell.encode(qlat, qlon, level)
+    val (_, _, _, lonMaxCell) = ZCell.bounds(c)
+    val cellDeg = 360.0 / (1 << level)
+    val eastEdge = lonMaxCell + 2 * cellDeg
+    val pts = Seq(
+      ("decoy1", qlat + 2.4 * cellDeg, qlon + 2.4 * cellDeg),
+      ("decoy2", qlat + 2.4 * cellDeg, qlon + 2.3 * cellDeg),
+      ("decoy3", qlat + 2.3 * cellDeg, qlon + 2.4 * cellDeg),
+      ("near1", qlat, eastEdge + 0.02),
+      ("near2", qlat + 0.01, eastEdge + 0.03))
+    import spark.implicits._
+    val ptsDF = pts.toDF("doc_id", "lat", "lon")
+    val queryDF = Seq((1L, qlat, qlon)).toDF("query_id", "lat", "lon")
+    val df = SpatialOps.knn(ptsDF, queryDF, k = 2, level = level, maxRing = 2,
+      metric = SpatialOps.PlanarDegrees2Metric)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"widening should avoid the exact-scan fallback, plan:\n$plan")
+    val got = df.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got === Set("near1", "near2"), got.toString)
+
+    // and with widening disabled, the exact fallback still guarantees the
+    // same (correct) answer via the cross join
+    val df0 = SpatialOps.knn(ptsDF, queryDF, k = 2, level = level, maxRing = 2,
+      metric = SpatialOps.PlanarDegrees2Metric, widenSteps = 0)
+    val plan0 = df0.queryExecution.executedPlan.toString
+    assert(plan0.contains("CartesianProduct") ||
+      plan0.contains("BroadcastNestedLoopJoin"), plan0)
+    assert(df0.select("doc_id").collect().map(_.getString(0)).toSet ===
+      Set("near1", "near2"))
+  }
+
   test("tile join equals brute-force parent-cell assignment") {
     val tiles = DeterministicGen.rasterTiles(level = 12)
     val tilesDF = tiles.map(t => (t.cell, t.level)).toDF("cell", "tile_level")
