@@ -135,6 +135,7 @@ object Compiler {
       case (StrAttr.Key, TagCtx(t))      => t.getField("key")
       case (StrAttr.Value, TagCtx(t))    => t.getField("value")
       case (StrAttr.Role, MemberCtx(m))  => m.getField("role")
+      case (StrAttr.MType, MemberCtx(m)) => m.getField("mtype") // v2 sugar
       case _ => fail(s"@${a.name} is not valid in ${ctxName(ctx)} context")
     }
     case RegexLit(_) =>

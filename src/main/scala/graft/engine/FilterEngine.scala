@@ -25,15 +25,19 @@ object FilterEngine {
         EntityBits.names(entities).map(" " + _).mkString + "\n"
   }
 
-  /** Parse + analyze — the `-n` dry-run surface (main.cpp:136-139). */
-  def parse(expression: String): Query = Query(expression, Parser.parse(expression))
+  /** Parse + analyze — the `-n` dry-run surface (main.cpp:136-139).
+    * `sugar` opts into the v2 extended syntax (see [[Parser.parse]]);
+    * default off preserves reference grammar parity. */
+  def parse(expression: String, sugar: Boolean = false): Query =
+    Query(expression, Parser.parse(expression, sugar))
 
   /** Single-pass filter (reference R1): selects matching rows of the docs
     * table, never rewriting `spans` (span-sequence invariant is structural).
     * Returns the full docs shape plus the typed view columns. */
   def filter(docs: DataFrame, expression: String,
-             idLoader: Compiler.IdListLoader = Compiler.noFiles): DataFrame = {
-    val q = parse(expression)
+             idLoader: Compiler.IdListLoader = Compiler.noFiles,
+             sugar: Boolean = false): DataFrame = {
+    val q = parse(expression, sugar)
     if (q.neverMatches)
       throw new OflTypeException("Filter expression can never match") // main.cpp:114-117
     // pruned decode: the predicate pays one codegen'd spans pass per field it
@@ -54,8 +58,9 @@ object FilterEngine {
     * size-adaptive behavior the bitset hand-codes. Catalyst reuses the scan
     * of `docs` across the two logical passes (ReusedExchange). */
   def completeWays(docs: DataFrame, expression: String,
-                   idLoader: Compiler.IdListLoader = Compiler.noFiles): DataFrame = {
-    val matched = filter(docs, expression, idLoader)
+                   idLoader: Compiler.IdListLoader = Compiler.noFiles,
+                   sugar: Boolean = false): DataFrame = {
+    val matched = filter(docs, expression, idLoader, sugar)
     val selfIds = matched.select(col("type"), abs(col("id")).as("pid"))
     val ndIds = matched
       .where(col("type") === "way")

@@ -30,6 +30,7 @@ object Main {
     var parts = 32
     var outputFormat = "parquet"
     var progress = false
+    var sugar = false
 
     def argValue(i: Int): String = {
       if (i + 1 >= args.length) {
@@ -46,6 +47,7 @@ object Main {
         case "-o" | "--output"          => output = argValue(i); i += 2
         case "-f" | "--output-format"   => outputFormat = argValue(i); i += 2
         case "--progress"               => progress = true; i += 1
+        case "--extended-syntax"        => sugar = true; i += 1
         case "-v" | "--verbose"         => verbose = true; i += 1
         case "-n" | "--dry-run"         => dryRun = true; i += 1
         case "-w" | "--complete-ways"   => completeWays = true; i += 1
@@ -54,7 +56,7 @@ object Main {
         case "--parts"                  => parts = argValue(i).toInt; i += 2
         case "-h" | "--help" =>
           System.out.println(
-            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT, -f parquet|json|csv, -n dry-run, -v verbose, -w complete-ways, --progress, --checkpoint ROOT [--job NAME --parts N]")
+            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT, -f parquet|json|csv, -n dry-run, -v verbose, -w complete-ways, --progress, --extended-syntax, --checkpoint ROOT [--job NAME --parts N]")
           return
         case other => input = other; i += 1
       }
@@ -67,7 +69,7 @@ object Main {
       expression = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(exprFile)), "UTF-8")
 
-    val q = try FilterEngine.parse(expression) catch {
+    val q = try FilterEngine.parse(expression, sugar) catch {
       case e: graft.ofl.OflParseException =>
         System.err.println("Error parsing filter expression:")
         System.err.println(e.input)
@@ -96,7 +98,7 @@ object Main {
     val docs = spark.read.parquet(input)
     val loader = Compiler.fileLoader(name => java.nio.file.Paths.get(name))
     val filtered =
-      if (completeWays) FilterEngine.completeWays(docs, expression, loader)
+      if (completeWays) FilterEngine.completeWays(docs, expression, loader, sugar)
       else if (checkpointRoot.nonEmpty) {
         val (df, manifests) = Checkpoint.filterJob(spark, docs, expression,
           checkpointRoot, jobName, parts, inputFingerprint = input,
@@ -104,7 +106,7 @@ object Main {
         manifests.foreach(m => System.err.println(
           s"part=${m.part} rows_in=${m.rowsIn} rows_out=${m.rowsOut} wall_ms=${m.wallMs}"))
         df
-      } else FilterEngine.filter(docs, expression, loader)
+      } else FilterEngine.filter(docs, expression, loader, sugar)
 
     if (output.nonEmpty) FilterEngine.writeOrdered(filtered, output, outputFormat)
     else System.out.println(filtered.count())

@@ -34,6 +34,10 @@ object StrAttr {
   case object Key   extends StrAttr("key")
   case object Value extends StrAttr("value")
   case object Role  extends StrAttr("role")
+  /** v2 extended-syntax only (`@members[way]` sugar, doc/language.md:166-168):
+    * the member's element type. The reference grammar has no such attribute;
+    * it never appears in default-mode parses. */
+  case object MType extends StrAttr("type")
 }
 
 /** Boolean attributes — reference hpp:66-86. */

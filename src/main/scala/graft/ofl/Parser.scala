@@ -21,8 +21,18 @@ import scala.util.control.ControlThrowable
   */
 object Parser {
 
-  def parse(input: String): Expr = {
-    val s = new State(input)
+  /** Parse an OFL expression. `sugar = true` enables the v2 EXTENDED SYNTAX
+    * the reference DOCUMENTS but its grammar rejects (README.md:76,
+    * doc/language.md:123-168): bare integer ⇒ `@id == N`; bare
+    * `node`/`way`/`relation` ⇒ entity test (shadowing the has-key reading of
+    * those three words — documented deviation, which is why the mode is
+    * default-OFF); `@nodes[17]`/`@members[17]` ⇒ `[@ref == 17]`;
+    * `@members[way]` ⇒ member-type test; `@members['inner']` ⇒ member-role
+    * test. Default mode stays bit-for-bit reference-parity (golden-tested).
+    * Out of scope even in sugar mode (no reference eval semantics to conform
+    * to): `@timestamp` comparisons and string-list `in` files. */
+  def parse(input: String, sugar: Boolean = false): Expr = {
+    val s = new State(input, sugar)
     val root =
       try s.expression()
       catch {
@@ -38,6 +48,13 @@ object Parser {
     }
   }
 
+  /** Sub-expression context for sugar desugaring (which collection the
+    * bracket belongs to). */
+  private sealed trait SubCtx
+  private case object TagsSub extends SubCtx
+  private case object NdsSub extends SubCtx
+  private case object MembersSub extends SubCtx
+
   /** Expectation failure — aborts the whole parse (Qi `>` + on_error<fail>),
     * carrying what was expected and where, for the reference-shaped
     * `ERROR: Expecting <what> here: "<rest>"` diagnostic
@@ -45,7 +62,7 @@ object Parser {
   private final case class ExpectFail(expected: String, at: Int)
     extends ControlThrowable
 
-  private final class State(val in: String) {
+  private final class State(val in: String, val sugar: Boolean = false) {
     var pos: Int = 0
     private val len = in.length
 
@@ -249,19 +266,46 @@ object Parser {
     def tag(): Option[Expr] = tagStr().orElse(tagRegex())
 
     // --- sub-expressions: cpp:212-225 -----------------------------------------
-    /** `[ expression ]` with expectations, or the implicit TRUE. */
-    def subexpression(): Expr = {
+    /** `[ expression ]` with expectations, or the implicit TRUE. In sugar
+      * mode, `[17]` inside @nodes/@members desugars to `[@ref == 17]`, and
+      * inside @members `[way]`/`['inner']` desugar to member-type / role
+      * tests (doc/language.md:144-168). */
+    def subexpression(ctx: SubCtx = TagsSub): Expr = {
       if (lit("[")) {
-        val e = expression().getOrElse(expectFail("expression"))
-        if (!lit("]")) expectFail("']'")
-        e
+        val sugared: Option[Expr] =
+          if (!sugar || ctx == TagsSub) None
+          else {
+            val save = pos
+            val e: Option[Expr] = int64()
+              .map(n => IntCmp(IntAttrExpr(IntAttr.Ref), IntOp.Eq, IntLit(n)))
+              .orElse(if (ctx == MembersSub) memberSugar() else None)
+            e.filter(_ => lit("]")).orElse { pos = save; None }
+          }
+        sugared.getOrElse {
+          val e = expression().getOrElse(expectFail("expression"))
+          if (!lit("]")) expectFail("']'")
+          e
+        }
       } else BoolLit(true) // static_true: cpp:165
     }
 
+    /** `way` ⇒ member-type test; `'inner'` ⇒ member-role test. */
+    private def memberSugar(): Option[Expr] = {
+      val save = pos
+      plainString() match {
+        case Some(t @ ("node" | "way" | "relation")) =>
+          Some(StrCmp(StrAttrExpr(StrAttr.MType), StrOp.Eq, StrLit(t)))
+        case Some(_) => pos = save; None
+        case None =>
+          quoted('\'').orElse(quoted('"'))
+            .map(r => StrCmp(StrAttrExpr(StrAttr.Role), StrOp.Eq, StrLit(r)))
+      }
+    }
+
     def subexprInt(): Option[Expr] = {
-      if (lit("@tags")) Some(CountTags(subexpression()))
-      else if (lit("@nodes")) Some(CountNodes(subexpression()))
-      else if (lit("@members")) Some(CountMembers(subexpression()))
+      if (lit("@tags")) Some(CountTags(subexpression(TagsSub)))
+      else if (lit("@nodes")) Some(CountNodes(subexpression(NdsSub)))
+      else if (lit("@members")) Some(CountMembers(subexpression(MembersSub)))
       else None
     }
 
@@ -358,6 +402,19 @@ object Parser {
       }
     }
 
+    /** sugar: bare `node`/`way`/`relation` ⇒ entity test (README.md:80-85).
+      * Tried AFTER tag() so `node == x` stays a tag check, BEFORE has-key so
+      * the three entity words shadow their has-key reading. */
+    private def entityWordSugar(): Option[Expr] = {
+      val save = pos
+      plainString() match {
+        case Some("node")     => Some(BoolAttrExpr(BoolAttr.IsNode))
+        case Some("way")      => Some(BoolAttrExpr(BoolAttr.IsWay))
+        case Some("relation") => Some(BoolAttrExpr(BoolAttr.IsRelation))
+        case _                => pos = save; None
+      }
+    }
+
     // --- primitive: cpp:270-279 (alternative order is semantic!) -----------------
     def primitive(): Option[Expr] =
       first[Expr](
@@ -365,10 +422,21 @@ object Parser {
         () => if (lit("false")) Some(BoolLit(false)) else None,
         () => attrBoolean(),
         () => tag(),
+        () => if (sugar) entityWordSugar() else None,
         () => string().map(HasKey),
         () => binaryIntOper(),
         () => binaryStrOper(),
-        () => inIntList())
+        () => inIntList(),
+        // sugar: bare counting expressions decay to bool ("@tags — has any
+        // tags", "@nodes[17] and @nodes[18]", doc/language.md:123-155);
+        // placed after the comparison forms so `@nodes[17] > 2` keeps its
+        // binary_int_oper reading
+        () => if (sugar) subexprInt() else None,
+        // sugar: bare integer ⇒ `@id == N` (README.md:76); last so that
+        // `123 == 4` keeps its binary_int_oper reading
+        () => if (sugar)
+          int64().map(n => IntCmp(IntAttrExpr(IntAttr.Id), IntOp.Eq, IntLit(n)))
+        else None)
 
     // --- factor / term / expression: cpp:281-308 -----------------------------------
     private def parenExpression(): Option[Expr] = {

@@ -126,6 +126,26 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got === Set("way"))
   }
 
+  test("v2 sugar compiles to the same filtered sets as its desugared forms") {
+    // parse-level equivalence is golden-tested; here the MType member-type
+    // test (no v1 equivalent) must select exactly the elements whose member
+    // list contains a way-typed member
+    val ast = Parser.parse("@members[way] > 0", sugar = true)
+    val got = view.filter(Compiler.compileEffective(ast))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val expected = elements.filter(el =>
+      el.otype == "relation" && el.members.exists(_._1 == "way")).map(_.docId).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must contain relations with way members")
+
+    // bare-int id sugar end-to-end
+    val someId = elements.find(_.otype == "node").get.id
+    val ast2 = Parser.parse(someId.toString, sugar = true)
+    val got2 = view.filter(Compiler.compileEffective(ast2))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got2 === elements.filter(_.id == someId).map(_.docId).toSet)
+  }
+
   test("object-only nodes inside sub-expressions are rejected at compile time") {
     // the reference defines eval_bool(OSMObject) ONLY for has-key/tag-check/
     // in-list (hpp:1342/1390/1457/1561) and throws at eval time in nested

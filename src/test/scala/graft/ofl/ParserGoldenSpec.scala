@@ -196,6 +196,58 @@ class ParserGoldenSpec extends AnyFunSuite {
     intercept[OflParseException](Parser.parse("~"))
   }
 
+  test("v2 extended syntax is OFF by default (reference grammar parity)") {
+    // the reference grammar rejects all of its own documented sugar
+    // (README.md:76, doc/language.md:144-168) — so must default mode
+    intercept[OflParseException](Parser.parse("123"))
+    intercept[OflParseException](Parser.parse("@nodes[17]"))
+    intercept[OflParseException](Parser.parse("@members[17]"))
+    intercept[OflParseException](Parser.parse("@members['inner']"))
+    intercept[OflParseException](Parser.parse("@members[way]"))
+    intercept[OflParseException](Parser.parse("@tags")) // bare counting
+    // `@members[way] > 0` parses in default mode (way = has-key) but has-key
+    // is an object-context node inside a member sub-expression → compile
+    // rejects (the reference throws the equivalent error at eval time)
+    val e = Parser.parse("@members[way] > 0")
+    intercept[OflTypeException](graft.compile.Compiler.compile(e))
+    // bare `node` in default mode is has-key, not an entity test
+    assert(Parser.parse("node") === HasKey("node"))
+  }
+
+  test("v2 extended syntax desugars to the documented equivalents") {
+    def sp(s: String) = Parser.parse(s, sugar = true)
+    // bare integer ⇒ @id == N (README.md:76)
+    assert(sp("123") === Parser.parse("@id == 123"))
+    // bare entity words ⇒ entity tests, shadowing has-key (README.md:80-85)
+    assert(sp("node") === BoolAttrExpr(BoolAttr.IsNode))
+    assert(sp("way and highway") ===
+      And(Vector(BoolAttrExpr(BoolAttr.IsWay), HasKey("highway"))))
+    // other words keep their has-key reading, tags keep their tag reading
+    assert(sp("building") === HasKey("building"))
+    assert(sp("node == yes") === CheckTagStr("node", StrOp.Eq, "yes"))
+    // @nodes[17] / @members[17] ⇒ [@ref == 17], decaying to bool when bare
+    // (doc/language.md:144-155; bare counting is itself sugar — the v1
+    // grammar only allows counting inside comparisons)
+    val ref17 = IntCmp(IntAttrExpr(IntAttr.Ref), IntOp.Eq, IntLit(17))
+    assert(sp("@nodes[17]") === CountNodes(ref17))
+    assert(sp("@members[17]") === CountMembers(ref17))
+    assert(sp("@nodes[17] > 2") === Parser.parse("@nodes[@ref == 17] > 2"))
+    assert(sp("@tags") === CountTags(BoolLit(true))) // "has any tags"
+    // @members[way] ⇒ member-type test; @members['inner'] ⇒ role test
+    assert(sp("@members[way]") === CountMembers(
+      StrCmp(StrAttrExpr(StrAttr.MType), StrOp.Eq, StrLit("way"))))
+    assert(sp("@members['inner'] > 0") ===
+      Parser.parse("@members[@role == 'inner'] > 0"))
+    // non-sugar forms parse identically in both modes
+    for (src <- Seq("@id in (1, 2)", "@tags[@key =^ 'addr:'] >= 2",
+      "not (highway or building)", "@closed_way or 'a' == 'b'"))
+      assert(sp(src) === Parser.parse(src), src)
+    // inner expressions that are not bare sugar still parse normally
+    assert(sp("@nodes[@ref > 100] > 0") === Parser.parse("@nodes[@ref > 100] > 0"))
+    assert(sp("@nodes[17 > 3]") === CountNodes(
+      IntCmp(IntLit(17), IntOp.Gt, IntLit(3))))
+  }
+
   test("expectation diagnostics match the reference on_error shape") {
     // qi::on_error<fail> prints `ERROR: Expecting <what> here: "<rest>"`
     // (object_filter.cpp:310-317); pin our reproduction of that shape.
