@@ -295,7 +295,7 @@ object SparkEntry {
         |         len(list_intersect(a.sh, b.sh)) * 1.0 /
         |           len(list_distinct(list_concat(a.sh, b.sh))) AS j
         |  FROM s a, s b WHERE a.doc_id < b.doc_id) x
-        |WHERE j >= 0.9
+        |WHERE j >= 1.0
         |ORDER BY key_a, key_b""".stripMargin,
 
     "dedup_simhash" ->

@@ -201,17 +201,20 @@ object Queries {
     // multiset / cosine / brute top-k) per pair and equality asserts both
     // threshold correctness and full recall on the seeded duplicates.
     "dedup_minhash_lsh" -> { (spark, sfDir) =>
-      // docs<300 plus exact copies of docs<40: j=1 pairs are guaranteed
-      // candidates (identical signatures in every band); threshold 0.9 sits
-      // in the fixture's jaccard gap (natural pairs are ≥0.954 or ≤0.067),
-      // so output == all pairs with exact 3-gram jaccard ≥ 0.9.
+      // docs<300 plus exact copies of docs<40, threshold 1.0: a j=1 pair has
+      // identical shingle sets → identical minhash signature → identical
+      // band keys, so candidacy is GUARANTEED (not banding-probability luck)
+      // and the output provably equals the SQL-recomputable exact set
+      // {pairs with 3-gram jaccard = 1}. Probabilistic recall on the
+      // [0.5, 1) band is covered by OpsSpec's seeded-recall test, and exact
+      // sub-1.0 thresholds by the dedup_jaccard gates.
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("doc_id") < 300).select("doc_id", "text")
       val seeded = docs.filter(col("doc_id") < 40)
         .select((col("doc_id") + 900000).as("doc_id"), col("text"))
       Dedup.minhashDupPairs(docs.unionByName(seeded),
         col("text"), col("doc_id"), ngram = 3, numHashes = 16, bands = 4,
-        threshold = 0.9)
+        threshold = 1.0)
         .select(col("key_a"), col("key_b"), round(col("jaccard"), 4).as("j4"))
         .orderBy("key_a", "key_b")
     },

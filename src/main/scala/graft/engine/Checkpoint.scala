@@ -73,9 +73,10 @@ object Checkpoint {
                 inputFingerprint: String = "",
                 maxPartsThisRun: Int = Int.MaxValue,
                 idLoader: graft.compile.Compiler.IdListLoader =
-                  graft.compile.Compiler.noFiles): (DataFrame, Seq[Manifest]) = {
+                  graft.compile.Compiler.noFiles,
+                sugar: Boolean = false): (DataFrame, Seq[Manifest]) = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    val ast = graft.ofl.Parser.parse(expression)
+    val ast = graft.ofl.Parser.parse(expression, sugar)
     // the expression text names id-list FILES; their CONTENTS are part of
     // the lineage — otherwise editing the file and resuming would silently
     // reuse stale committed parts
@@ -90,7 +91,11 @@ object Checkpoint {
       idLoader(f).toSeq.sorted.foreach(v => md.update(v.toString.getBytes))
       f + "=" + md.digest().take(8).map(b => f"$b%02x").mkString
     }.mkString(",")
-    val lineage = lineageKey(s"$inputFingerprint|$fileFp", expression, parts)
+    // "layout=v2": the on-disk data layout (data/__part=N, single-pass
+    // write) is part of the lineage — manifests committed by the old
+    // per-bucket layout must invalidate so resume recomputes into the new
+    // layout instead of failing to read paths that no longer exist
+    val lineage = lineageKey(s"$inputFingerprint|$fileFp|layout=v2", expression, parts)
     val pred = graft.compile.Compiler.compileEffective(ast, idLoader)
     val view = graft.model.OsmView.derivePruned(docs)
       .withColumn("__part", pmod(xxhash64(col("doc_id")), lit(parts)))

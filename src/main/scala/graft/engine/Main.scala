@@ -102,7 +102,7 @@ object Main {
       else if (checkpointRoot.nonEmpty) {
         val (df, manifests) = Checkpoint.filterJob(spark, docs, expression,
           checkpointRoot, jobName, parts, inputFingerprint = input,
-          idLoader = loader)
+          idLoader = loader, sugar = sugar)
         manifests.foreach(m => System.err.println(
           s"part=${m.part} rows_in=${m.rowsIn} rows_out=${m.rowsOut} wall_ms=${m.wallMs}"))
         df
@@ -120,16 +120,22 @@ object Main {
   * with completed/total tasks of the currently running stage. */
 private[engine] class ProgressListener
   extends org.apache.spark.scheduler.SparkListener {
-  private var total = 0
-  private var doneTasks = 0
+  // per-stage counters: stages run CONCURRENTLY under AQE/joins, so a shared
+  // counter pair would mix one stage's completions with another's total
+  private val stages = scala.collection.mutable.Map.empty[Int, (Int, Int)]
   override def onStageSubmitted(
       s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-    synchronized { total = s.stageInfo.numTasks; doneTasks = 0 }
+    synchronized { stages(s.stageInfo.stageId) = (0, s.stageInfo.numTasks) }
+  override def onStageCompleted(
+      s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+    synchronized { stages.remove(s.stageInfo.stageId) }
   override def onTaskEnd(
       t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
     synchronized {
-      doneTasks += 1
-      val pct = if (total == 0) 100 else doneTasks * 100 / total
-      System.err.print(s"\rstage ${t.stageId}: $doneTasks/$total tasks ($pct%) ")
+      val (done, total) = stages.getOrElse(t.stageId, (0, 0))
+      val d = done + 1
+      stages(t.stageId) = (d, total)
+      val pct = if (total == 0) 100 else d * 100 / total
+      System.err.print(s"\rstage ${t.stageId}: $d/$total tasks ($pct%) ")
     }
 }

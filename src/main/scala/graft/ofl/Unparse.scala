@@ -1,9 +1,13 @@
 package graft.ofl
 
-/** Renders an AST back to OFL source text that re-parses to the same tree.
-  * Strings are always quoted (single quotes, falling back to double quotes
-  * when the value contains one), which sidesteps every keyword/plain-string
-  * ambiguity of the grammar; composite children are parenthesized. */
+/** Renders an AST back to OFL source text that re-parses to the same tree —
+  * under the parser mode that can express it: ASTs reachable from the v1
+  * grammar re-parse in default mode; sugar-only shapes (bare counting
+  * primitives, member-type tests) re-parse under
+  * `Parser.parse(_, sugar = true)`. Strings are always quoted (single
+  * quotes, falling back to double quotes when the value contains one),
+  * which sidesteps every keyword/plain-string ambiguity of the grammar;
+  * composite children are parenthesized. */
 object Unparse {
 
   def apply(e: Expr): String = expr(e)
@@ -94,6 +98,11 @@ object Unparse {
 
   private def countExpr(head: String, sub: Expr): String = sub match {
     case BoolLit(true) => head
-    case other         => s"$head[${expr(other)}]"
+    // v2 sugar: the member-type test has no v1 surface syntax; its only
+    // parseable rendering is the bare-word form (sugar mode)
+    case StrCmp(StrAttrExpr(StrAttr.MType), StrOp.Eq, StrLit(t))
+        if head == "@members" =>
+      s"$head[$t]"
+    case other => s"$head[${expr(other)}]"
   }
 }

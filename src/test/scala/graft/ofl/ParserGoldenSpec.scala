@@ -248,6 +248,14 @@ class ParserGoldenSpec extends AnyFunSuite {
       IntCmp(IntLit(17), IntOp.Gt, IntLit(3))))
   }
 
+  test("unparse round-trips sugar-only ASTs under sugar mode") {
+    for (src <- Seq("@members[way] > 0", "@members[node] > 0", "@tags",
+      "@nodes[17]", "@members['inner'] > 0", "123")) {
+      val ast = Parser.parse(src, sugar = true)
+      assert(Parser.parse(Unparse(ast), sugar = true) === ast, s"<$src>")
+    }
+  }
+
   test("expectation diagnostics match the reference on_error shape") {
     // qi::on_error<fail> prints `ERROR: Expecting <what> here: "<rest>"`
     // (object_filter.cpp:310-317); pin our reproduction of that shape.
