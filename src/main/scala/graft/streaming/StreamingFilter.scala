@@ -22,7 +22,9 @@ object StreamingFilter {
     val q = FilterEngine.parse(expression)
     if (q.neverMatches)
       throw new graft.ofl.OflTypeException("Filter expression can never match")
-    OsmView.derive(streamingDocs)
+    // same pruned codegen'd decode as the batch path: each micro-batch pays
+    // one spans pass per predicate field, not the full HOF derivation
+    OsmView.derivePruned(streamingDocs)
       .filter(Compiler.compileEffective(q.ast, idLoader))
   }
 }
