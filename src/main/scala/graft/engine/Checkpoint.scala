@@ -94,8 +94,12 @@ object Checkpoint {
     // "layout=v2": the on-disk data layout (data/__part=N, single-pass
     // write) is part of the lineage — manifests committed by the old
     // per-bucket layout must invalidate so resume recomputes into the new
-    // layout instead of failing to read paths that no longer exist
-    val lineage = lineageKey(s"$inputFingerprint|$fileFp|layout=v2", expression, parts)
+    // layout instead of failing to read paths that no longer exist.
+    // The predicate component hashes the CANONICAL PARSED TREE, not the
+    // source text: the same text means different filters in default vs
+    // extended-syntax mode (and comment/whitespace changes don't invalidate).
+    val lineage = lineageKey(s"$inputFingerprint|$fileFp|layout=v2",
+      graft.ofl.Pretty.print(ast), parts)
     val pred = graft.compile.Compiler.compileEffective(ast, idLoader)
     val view = graft.model.OsmView.derivePruned(docs)
       .withColumn("__part", pmod(xxhash64(col("doc_id")), lit(parts)))
@@ -109,9 +113,10 @@ object Checkpoint {
     // are written only after the job commits, so a preempted run loses at
     // most one batch and the next invocation recomputes exactly the
     // manifest-less buckets.
-    val pendingAll = (0 until parts).filter { p =>
-      !readManifest(root, job, p).exists(_.lineage == lineage)
-    }
+    val committed: Map[Int, Manifest] = (0 until parts)
+      .flatMap(p => readManifest(root, job, p).filter(_.lineage == lineage)
+        .map(p -> _)).toMap
+    val pendingAll = (0 until parts).filterNot(committed.contains)
     val pending = pendingAll.take(maxPartsThisRun)
     val fresh: Map[Int, Manifest] =
       if (pending.isEmpty) Map.empty
@@ -131,6 +136,15 @@ object Checkpoint {
           .parquet(s"$root/$job/data")
         val wallMs = (System.nanoTime() - t0) / 1000000
         val ins = inObs.get; val outs = outObs.get
+        // dynamic overwrite materializes nothing for a bucket whose output
+        // is empty, which would leave a PREVIOUS lineage's files in that
+        // partition directory — clear them so the durable dataset under
+        // data/ never mixes predicates for external readers
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        pending.filter(p => outs(s"p$p").asInstanceOf[Long] == 0L).foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(dataPath(root, job, p)), true)
+        }
         pending.map { p =>
           // wall time is the shared batch wall clock (one job for the batch)
           val m = Manifest(job, p, lineage, ins(s"p$p").asInstanceOf[Long],
@@ -141,16 +155,17 @@ object Checkpoint {
       }
 
     val manifests = (0 until parts).map { p =>
-      fresh.get(p)
-        .orElse(readManifest(root, job, p).filter(_.lineage == lineage))
+      fresh.get(p).orElse(committed.get(p))
         .getOrElse(Manifest(job, p, "PENDING", -1, -1, -1))
     }
 
     // zero-output buckets have a manifest but no partition directory
     // (dynamic overwrite writes nothing for them) — skip them on read
     val done = manifests.filter(m => m.lineage == lineage && m.rowsOut > 0)
+    val empty = view.filter(lit(false))
+      .select("doc_id", "spans", "type", "seq") // schema'd empty result
     val result =
-      if (done.isEmpty) spark.emptyDataFrame
+      if (done.isEmpty) empty
       else done.map(m => spark.read.parquet(dataPath(root, job, m.part)))
         .reduce(_ unionByName _)
     (result, manifests)

@@ -132,10 +132,13 @@ private[engine] class ProgressListener
   override def onTaskEnd(
       t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
     synchronized {
-      val (done, total) = stages.getOrElse(t.stageId, (0, 0))
-      val d = done + 1
-      stages(t.stageId) = (d, total)
-      val pct = if (total == 0) 100 else d * 100 / total
-      System.err.print(s"\rstage ${t.stageId}: $d/$total tasks ($pct%) ")
+      // ignore late/speculative task events for stages already completed —
+      // resurrecting the entry would print d/0 and leak map entries
+      stages.get(t.stageId).foreach { case (done, total) =>
+        val d = done + 1
+        stages(t.stageId) = (d, total)
+        val pct = if (total == 0) 100 else d * 100 / total
+        System.err.print(s"\rstage ${t.stageId}: $d/$total tasks ($pct%) ")
+      }
     }
 }

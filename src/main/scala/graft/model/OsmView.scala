@@ -28,9 +28,11 @@ object OsmView {
     * `spans` instead of ~12 HOF passes (graft.exprs.DecodeOsmSpans). Same
     * output schema and values (equivalence-tested). Use it when ALL fields
     * are needed — full-view materialization runs 1.8× faster. For in-flight
-    * FILTERS prefer [[derive]]: its per-field expressions let Catalyst prune
-    * the fields the predicate never touches, which beats decoding everything
-    * (measured: narrow filters are ~40% faster on [[derive]]). The struct is
+    * FILTERS prefer [[derivePruned]]: its per-field masked decodes let
+    * Catalyst drop whole passes for untouched fields AND stay codegen'd
+    * (~12× the HOF [[derive]] path on the bench suite); [[derive]] remains
+    * the pure-Column reference the decoders are equivalence-tested against.
+    * The struct is
     * materialized once per row in an inner projection; the outer projection
     * extracts fields (CollapseProject keeps the expensive alias
     * un-duplicated — pinned by test). */

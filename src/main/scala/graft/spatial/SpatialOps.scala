@@ -76,7 +76,9 @@ object SpatialOps {
 
   // --- point-in-polygon --------------------------------------------------------
 
-  /** Even-odd ray cast over all rings (outer + holes). Driver-side scalar. */
+  /** Even-odd ray cast over all rings (outer + holes). Driver-side scalar —
+    * kept as the independent brute-force ORACLE the distributed join is
+    * tested against (SpatialSpec); the executor hot path is [[pipFlat]]. */
   def pipScala(lat: Double, lon: Double, rings: Seq[Seq[(Double, Double)]]): Boolean = {
     var inside = false
     rings.foreach { ring =>
@@ -91,23 +93,6 @@ object SpatialOps {
       }
     }
     inside
-  }
-
-  /** PIP as a scalar UDF over rings as array<array<array<double>>> — each
-    * vertex a [lat, lon] pair (nested struct inputs are not supported by
-    * Spark UDF encoders). A UDF is acceptable here: it runs only on
-    * cell-cover CANDIDATES after the equi-join pruned the cross product; the
-    * hot path (cell encode + join) stays codegen'd. */
-  val pipUdf = udf { (lat: Double, lon: Double, rings: Seq[Seq[Seq[Double]]]) =>
-    pipScala(lat, lon, rings.map(_.map(p => (p(0), p(1)))))
-  }
-
-  /** Cover cells of a polygon's bbox at `level` (superset; exact refine
-    * follows). Runs distributed over the polygon side. */
-  def coverUdf(level: Int) = udf { (rings: Seq[Seq[Seq[Double]]]) =>
-    val outer = rings.head.map(p => (p(0), p(1)))
-    ZCell.coverBBox(outer.map(_._1).min, outer.map(_._1).max,
-      outer.map(_._2).min, outer.map(_._2).max, level)
   }
 
   /** struct rings (array<array<struct<lat,lon>>>) → [lat, lon] double arrays
