@@ -59,6 +59,41 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Winnowed document fingerprints (the MOSS scheme, Schleimer/Wilkerson/
+    * Aiken 2003): hash every k-char gram of the normalized text, then keep
+    * the MINIMUM hash of each window of `w` consecutive grams, dedup'd, as
+    * a new array column `out`. GUARANTEE: two documents sharing any
+    * substring of length ≥ w + k − 1 share at least one fingerprint — the
+    * local near-dup/provenance primitive, robust to insertions/deletions in
+    * a way whole-doc hashing is not. Per-gram hashing is xxhash64 over the
+    * substring: the classic Rabin-Karp ROLLING update is a sequential
+    * single-node optimization; a columnar engine evaluates each window's
+    * hash independently (and in parallel), same fingerprint role. Docs
+    * shorter than k chars yield their whole-text hash.
+    *
+    * This is a DataFrame-level op (not Column-in/Column-out) ON PURPOSE:
+    * the normalized text and the gram array must be materialized as real
+    * attributes between projection steps — referencing them from inside the
+    * next step's lambda would re-evaluate them PER ARRAY ELEMENT (an O(n²)
+    * regex/hash blowup per row). Each intermediate is referenced more than
+    * once by a non-cheap consumer, which is exactly the condition under
+    * which Catalyst's CollapseProject keeps the projections separate. */
+  def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, text: Column,
+                           out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    val normCol = "__wf_norm"; val gramsCol = "__wf_grams"
+    df.withColumn(normCol, lower(regexp_replace(trim(text), "\\s+", " ")))
+      // grams: for n < k the single window is substring(1, k) == the whole
+      // short string, so no special-casing is needed
+      .withColumn(gramsCol, transform(
+        sequence(lit(1), greatest(length(col(normCol)) - (k - 1), lit(1))),
+        i => xxhash64(substring(col(normCol), i, lit(k)))))
+      .withColumn(out, array_distinct(transform(
+        sequence(lit(1), greatest(size(col(gramsCol)) - (w - 1), lit(1))),
+        j => array_min(slice(col(gramsCol), j, lit(w))))))
+      .drop(normCol, gramsCol)
+  }
+
   /** Language ID via stopword n-gram heuristic: per-language stopword hit
     * counts, argmax via array_max over (score, negLang) structs (struct
     * ordering compares fields in order; ties break toward the

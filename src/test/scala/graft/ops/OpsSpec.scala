@@ -32,6 +32,69 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowed fingerprints match a driver-side reference implementation") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(str: String): Long =
+      XxHash64Function.hash(UTF8String.fromString(str), StringType, 42L)
+    def ref(text: String, k: Int, w: Int): Set[Long] = {
+      // mirror the Column pipeline exactly: trim(' ') → \s+→' ' → lower
+      val trimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val norm = trimmed.replaceAll("\\s+", " ").toLowerCase
+      if (norm.length < k) Set(h(norm))
+      else {
+        val grams = (0 to norm.length - k).map(i => h(norm.substring(i, i + k)))
+        val nw = math.max(grams.length - (w - 1), 1)
+        (0 until nw).map(j => grams.slice(j, math.min(j + w, grams.length)).min).toSet
+      }
+    }
+    val k = 8; val w = 4
+    val got = TextOps.winnowedFingerprints(
+      documents.select(col("doc_id"), col("text")), col("text"), "fps", k, w)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expected = ref(r.getAs[String]("text"), k, w)
+      assert(r.getSeq[Long](2).toSet === expected,
+        s"fingerprints of doc ${r.get(0)}")
+    }
+    // winnowing guarantee: a shared substring of length >= w + k - 1 yields
+    // at least one shared fingerprint even when the rest differs entirely
+    val shared = "zqxjkwvyp bmfgdhntr"  // 19 chars >= 8 + 4 - 1
+    val a = ref("AAAA bbbb " + shared + " cccc", k, w)
+    val b = ref("totally different prefix " + shared + " and suffix!", k, w)
+    assert(a.intersect(b).nonEmpty, "guarantee violated")
+  }
+
+  test("winnowed dup pairs find near-copies without a cross product") {
+    val base = documents.filter(col("doc_id") < 60).select("doc_id", "text")
+    // near-copies: small prefix edit; exact copies: unchanged text
+    val near = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit("edited: "), col("text")).as("text"))
+    val exact = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 600000).as("doc_id"), col("text"))
+    val all = base.unionByName(near).unionByName(exact)
+    val pairs = Dedup.winnowedDupPairs(all, col("text"), col("doc_id"),
+      k = 8, w = 4, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("overlap")))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // every seeded copy (near or exact) pairs with its source
+    (0L until 20L).foreach { id =>
+      assert(pairSet.contains((id, id + 500000)), s"near-copy pair missing for $id")
+    }
+    (0L until 10L).foreach { id =>
+      assert(pairSet.contains((id, id + 600000)), s"exact-copy pair missing for $id")
+      assert(pairs.find(p => p._1 == id && p._2 == id + 600000).get._3 === 1.0)
+    }
+    // the plan is candidate-join shaped: no cartesian in the executed plan
+    val plan = Dedup.winnowedDupPairs(all, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("langId finds the stopword-dominant language") {
     val samples = Seq(
       ("the cat and the dog are in the house", "en"),
