@@ -95,11 +95,14 @@ object Checkpoint {
     // write) is part of the lineage — manifests committed by the old
     // per-bucket layout must invalidate so resume recomputes into the new
     // layout instead of failing to read paths that no longer exist.
-    // The predicate component hashes the CANONICAL PARSED TREE, not the
+    // The predicate component hashes the CANONICAL PARSED TREE (via the
+    // LOSSLESS round-trip renderer — the golden pretty-printer truncates
+    // long value lists, which would collide distinct predicates), not the
     // source text: the same text means different filters in default vs
-    // extended-syntax mode (and comment/whitespace changes don't invalidate).
+    // extended-syntax mode (and comment/whitespace changes don't
+    // invalidate).
     val lineage = lineageKey(s"$inputFingerprint|$fileFp|layout=v2",
-      graft.ofl.Pretty.print(ast), parts)
+      graft.ofl.Unparse(ast), parts)
     val pred = graft.compile.Compiler.compileEffective(ast, idLoader)
     val view = graft.model.OsmView.derivePruned(docs)
       .withColumn("__part", pmod(xxhash64(col("doc_id")), lit(parts)))
@@ -140,10 +143,12 @@ object Checkpoint {
         // is empty, which would leave a PREVIOUS lineage's files in that
         // partition directory — clear them so the durable dataset under
         // data/ never mixes predicates for external readers
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         pending.filter(p => outs(s"p$p").asInstanceOf[Long] == 0L).foreach { p =>
-          fs.delete(new org.apache.hadoop.fs.Path(dataPath(root, job, p)), true)
+          val path = new org.apache.hadoop.fs.Path(dataPath(root, job, p))
+          // resolve the FS from the path itself, not fs.defaultFS — the
+          // checkpoint root may live on a different filesystem
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(path, true)
         }
         pending.map { p =>
           // wall time is the shared batch wall clock (one job for the batch)

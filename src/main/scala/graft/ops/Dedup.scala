@@ -185,29 +185,35 @@ object Dedup {
     * Scale shape: the fingerprint join is the only shuffle and its keys are
     * 64-bit hashes; boilerplate text (license headers, templates) makes HOT
     * fingerprints whose buckets go quadratic, so fingerprints appearing in
-    * more than `maxDocFreq` documents are dropped from candidate generation
-    * first (they carry no near-dup signal — the classic stop-fingerprint
-    * cut; exact verification still uses full sets via the sizes join). */
+    * more than `maxDocFreq` documents are dropped from CANDIDATE GENERATION
+    * only (a pair must share at least one rare fingerprint to be
+    * considered; documents duplicated more than `maxDocFreq` times are
+    * exact-dedup's job, not a similarity query). Verification then
+    * recomputes `shared` and the overlap coefficient from the FULL
+    * fingerprint sets of each surviving pair, so hot fingerprints still
+    * count toward the reported overlap. */
   def winnowedDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                        k: Int = 8, w: Int = 4, threshold: Double = 0.5,
                        maxDocFreq: Int = 1000): DataFrame = {
     val fps = TextOps.winnowedFingerprints(
       docs.select(keyCol.as("key"), textCol.as("__text")),
       col("__text"), "fps", k, w).select("key", "fps")
-    val sizes = fps.select(col("key"), size(col("fps")).as("n"))
     val e = fps.select(col("key"), explode(col("fps")).as("f"))
     val rare = e.groupBy("f").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("f")
-    val candidates = e.join(rare, Seq("f"), "left_semi")
-    val l = candidates.select(col("f"), col("key").as("key_a"))
-    val r = candidates.select(col("f"), col("key").as("key_b"))
-    l.join(r, Seq("f"))
+    val gen = e.join(rare, Seq("f"), "left_semi")
+    val l = gen.select(col("f"), col("key").as("key_a"))
+    val r = gen.select(col("f"), col("key").as("key_b"))
+    val candidates = l.join(r, Seq("f"))
       .filter(col("key_a") < col("key_b"))
-      .groupBy("key_a", "key_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("key").as("key_a"), col("n").as("n_a")), "key_a")
-      .join(sizes.select(col("key").as("key_b"), col("n").as("n_b")), "key_b")
-      .select(col("key_a"), col("key_b"), col("shared"),
-        (col("shared").cast("double") / least(col("n_a"), col("n_b"))).as("overlap"))
+      .select("key_a", "key_b").distinct()
+    candidates
+      .join(fps.select(col("key").as("key_a"), col("fps").as("fps_a")), "key_a")
+      .join(fps.select(col("key").as("key_b"), col("fps").as("fps_b")), "key_b")
+      .select(col("key_a"), col("key_b"),
+        size(array_intersect(col("fps_a"), col("fps_b"))).cast("long").as("shared"),
+        (size(array_intersect(col("fps_a"), col("fps_b"))).cast("double") /
+          least(size(col("fps_a")), size(col("fps_b")))).as("overlap"))
       .filter(col("overlap") >= threshold)
   }
 }

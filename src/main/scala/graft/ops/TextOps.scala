@@ -54,10 +54,16 @@ object TextOps {
     round((lenScore + punctScore + stopScore) / 3.0, 4)
   }
 
+  /** Whitespace-normalized, lowercased text — the shared normalization of
+    * [[fingerprint]] and [[winnowedFingerprints]] (and of their test
+    * reference implementations): keep these in lockstep. */
+  def normalizedText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
   /** Document fingerprint: 64-bit hash of whitespace-normalized, lowercased
     * text — the exact-dedup key. */
   def fingerprint(text: Column): Column =
-    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+    xxhash64(normalizedText(text))
 
   /** Winnowed document fingerprints (the MOSS scheme, Schleimer/Wilkerson/
     * Aiken 2003): hash every k-char gram of the normalized text, then keep
@@ -82,7 +88,7 @@ object TextOps {
                            out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
     val normCol = "__wf_norm"; val gramsCol = "__wf_grams"
-    df.withColumn(normCol, lower(regexp_replace(trim(text), "\\s+", " ")))
+    df.withColumn(normCol, normalizedText(text))
       // grams: for n < k the single window is substring(1, k) == the whole
       // short string, so no special-casing is needed
       .withColumn(gramsCol, transform(

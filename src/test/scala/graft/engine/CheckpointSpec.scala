@@ -62,6 +62,17 @@ class CheckpointSpec extends AnyFunSuite {
     assert(m3.head.lineage !== m2.head.lineage)
   }
 
+  test("inline id lists beyond the pretty-print truncation still distinguish lineages") {
+    // the golden pretty-printer truncates VALUES[…] to 5 entries; the
+    // lineage must hash the LOSSLESS rendering or these two collide
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt4").toString
+    val (_, m1) = Checkpoint.filterJob(spark, docs, "@id in (1,2,3,4,5,6)",
+      root, "j4", parts = 2, inputFingerprint = "fp")
+    val (_, m2) = Checkpoint.filterJob(spark, docs, "@id in (1,2,3,4,5,999999)",
+      root, "j4", parts = 2, inputFingerprint = "fp")
+    assert(m1.head.lineage !== m2.head.lineage)
+  }
+
   test("editing an id-list file invalidates the lineage on resume") {
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
     val f = java.nio.file.Files.createTempFile("graft-ckpt-ids", ".txt")

@@ -39,12 +39,19 @@ class OpsSpec extends AnyFunSuite {
     def h(str: String): Long =
       XxHash64Function.hash(UTF8String.fromString(str), StringType, 42L)
     def ref(text: String, k: Int, w: Int): Set[Long] = {
-      // mirror the Column pipeline exactly: trim(' ') → \s+→' ' → lower
+      // mirror the Column pipeline exactly: trim(' ') → \s+→' ' → lower;
+      // Locale.ROOT + codepoint slicing match Spark's locale-independent
+      // lower() and codepoint-based substring()
       val trimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-      val norm = trimmed.replaceAll("\\s+", " ").toLowerCase
-      if (norm.length < k) Set(h(norm))
+      val norm = trimmed.replaceAll("\\s+", " ")
+        .toLowerCase(java.util.Locale.ROOT)
+      val cps = norm.codePoints().toArray
+      def sub(from: Int, len: Int): String =
+        new String(cps.slice(from, math.min(from + len, cps.length)), 0,
+          math.min(len, math.max(cps.length - from, 0)))
+      if (cps.length < k) Set(h(norm))
       else {
-        val grams = (0 to norm.length - k).map(i => h(norm.substring(i, i + k)))
+        val grams = (0 to cps.length - k).map(i => h(sub(i, k)))
         val nw = math.max(grams.length - (w - 1), 1)
         (0 until nw).map(j => grams.slice(j, math.min(j + w, grams.length)).min).toSet
       }
