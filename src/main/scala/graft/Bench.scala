@@ -166,6 +166,12 @@ object Bench {
     results("dedup_simhash") = median3(
       Dedup.simhashDupPairs(documents, col("text"), col("doc_id"),
         bands = 4, maxHamming = 6).count())
+    // dedup_winnowed is deliberately NOT benched on this fixture: the
+    // generator draws text from a tiny phrase vocabulary (6,459 distinct
+    // fingerprints across 5,000 docs, mean df≈83 — tools.WinnowSizeProbe),
+    // so nearly every doc pair is a true candidate and the result set
+    // itself degenerates toward O(n²); that measures the corpus, not the
+    // operator. OpsSpec verifies the op on the sf0.001 table.
     results("text_analysis") = median3(
       documents.select(
         graft.ops.TextOps.tokenCountWs(col("text")),

@@ -191,7 +191,15 @@ object Dedup {
     * exact-dedup's job, not a similarity query). Verification then
     * recomputes `shared` and the overlap coefficient from the FULL
     * fingerprint sets of each surviving pair, so hot fingerprints still
-    * count toward the reported overlap. */
+    * count toward the reported overlap.
+    *
+    * Corpus caveat: on template/low-vocabulary corpora the fingerprint space
+    * collapses (few distinct window-min values ⇒ high document frequency for
+    * EVERY fingerprint) and the true answer itself approaches O(n²) pairs;
+    * raise `k` (longer grams ⇒ more distinct fingerprints), raise
+    * `threshold`, or lower `maxDocFreq` before running at scale — and treat
+    * a mostly-hot fingerprint distribution (see tools.WinnowSizeProbe) as a
+    * signal the corpus needs exact dedup first. */
   def winnowedDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                        k: Int = 8, w: Int = 4, threshold: Double = 0.5,
                        maxDocFreq: Int = 1000): DataFrame = {

@@ -24,6 +24,8 @@ object DedupProbe {
       ngram = 3, numHashes = 16, bands = 4, threshold = 0.5).count())
     t3("dedup_simhash")(Dedup.simhashDupPairs(documents, col("text"), col("doc_id"),
       bands = 4, maxHamming = 6).count())
+    t3("dedup_winnowed_df20")(Dedup.winnowedDupPairs(documents, col("text"), col("doc_id"),
+      k = 8, w = 4, threshold = 0.5, maxDocFreq = 20).count())
     spark.stop()
   }
 }

@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Sizes of the winnowed-dup-pairs intermediates on the sf0.1 documents
+  * table: fingerprint df distribution, rare-fp count, candidate-pair count —
+  * to see where the join fan-out explodes on template-heavy text. */
+object WinnowSizeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.FilterEngine.session(master = "local[16]", appName = "winnow-size")
+    val documents = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .repartition(16).cache()
+    documents.count()
+    val fps = graft.ops.TextOps.winnowedFingerprints(
+      documents.select(col("doc_id").as("key"), col("text")), col("text"), "fps")
+      .select("key", "fps").cache()
+    val e = fps.select(col("key"), explode(col("fps")).as("f")).cache()
+    println("PROBE fps_rows=" + e.count())
+    val dfDist = e.groupBy("f").agg(count(lit(1)).as("df")).cache()
+    println("PROBE distinct_fps=" + dfDist.count())
+    for (cap <- Seq(5, 20, 100, 1000)) {
+      val pairsUpper = dfDist.filter(col("df") <= cap && col("df") >= 2)
+        .agg(sum(col("df") * (col("df") - 1) / 2)).collect()(0).getLong(0)
+      println(s"PROBE cap=$cap candidate_pair_rows_upper=$pairsUpper")
+    }
+    spark.stop()
+  }
+}
