@@ -149,7 +149,7 @@ object Bench {
       SpatialOps.tileJoin(nodes, tiles, pointLevel = 16, tileLevel = 12).count())
 
     results("spatial_cell_density") = median3(
-      SpatialOps.cellDensity(nodes.withColumn("doc_id", col("doc_id")), 12).count())
+      SpatialOps.cellDensity(nodes, 12).count())
 
     val spatialRps = nNodes.toDouble * 2 / (tPip + results("spatial_tile_join"))
 

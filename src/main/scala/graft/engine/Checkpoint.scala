@@ -39,21 +39,26 @@ object Checkpoint {
   private def writeManifest(m: Manifest, root: String): Unit = {
     val p = manifestPath(root, m.job, m.part)
     Files.createDirectories(p.getParent)
-    Files.writeString(p,
-      s"""{"job":"${m.job}","part":${m.part},"lineage":"${m.lineage}",
-         |"rows_in":${m.rowsIn},"rows_out":${m.rowsOut},"wall_ms":${m.wallMs}}"""
-        .stripMargin.replace("\n", ""))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("job", m.job); node.put("part", m.part)
+    node.put("lineage", m.lineage); node.put("rows_in", m.rowsIn)
+    node.put("rows_out", m.rowsOut); node.put("wall_ms", m.wallMs)
+    Files.writeString(p, mapper.writeValueAsString(node))
   }
 
+  /** Real JSON parsing (Jackson, already on the Spark classpath) — field
+    * order, extra whitespace, and string escaping are all irrelevant, unlike
+    * the original split-on-key reader which silently mis-parsed on reorder. */
   def readManifest(root: String, job: String, p: Int): Option[Manifest] = {
     val path = manifestPath(root, job, p)
     if (!Files.exists(path)) None
     else {
-      val s = Files.readString(path)
-      def field(k: String): String =
-        s.split("\"" + k + "\":")(1).split("[,}]")(0).replaceAll("\"", "")
-      Some(Manifest(job, field("part").toInt, field("lineage"),
-        field("rows_in").toLong, field("rows_out").toLong, field("wall_ms").toLong))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(path))
+      Some(Manifest(job, node.get("part").asInt(), node.get("lineage").asText(),
+        node.get("rows_in").asLong(), node.get("rows_out").asLong(),
+        node.get("wall_ms").asLong()))
     }
   }
 

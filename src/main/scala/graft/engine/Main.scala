@@ -133,12 +133,15 @@ private[engine] class ProgressListener
       t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
     synchronized {
       // ignore late/speculative task events for stages already completed —
-      // resurrecting the entry would print d/0 and leak map entries
-      stages.get(t.stageId).foreach { case (done, total) =>
-        val d = done + 1
-        stages(t.stageId) = (d, total)
-        val pct = if (total == 0) 100 else d * 100 / total
-        System.err.print(s"\rstage ${t.stageId}: $d/$total tasks ($pct%) ")
-      }
+      // resurrecting the entry would print d/0 and leak map entries; and only
+      // SUCCESSFUL attempts count as progress (failed/killed/extra speculative
+      // attempts would drive done past total, e.g. "12/10 tasks (120%)")
+      if (t.reason == org.apache.spark.Success)
+        stages.get(t.stageId).foreach { case (done, total) =>
+          val d = math.min(done + 1, math.max(total, 1))
+          stages(t.stageId) = (d, total)
+          val pct = if (total == 0) 100 else d * 100 / total
+          System.err.print(s"\rstage ${t.stageId}: $d/$total tasks ($pct%) ")
+        }
     }
 }

@@ -19,8 +19,11 @@ object WinnowSizeProbe {
     val dfDist = e.groupBy("f").agg(count(lit(1)).as("df")).cache()
     println("PROBE distinct_fps=" + dfDist.count())
     for (cap <- Seq(5, 20, 100, 1000)) {
+      // `/` on integral columns is DOUBLE in Spark (and the sum is null when
+      // no fingerprint has df >= 2): floor+cast+coalesce keep this a long
       val pairsUpper = dfDist.filter(col("df") <= cap && col("df") >= 2)
-        .agg(sum(col("df") * (col("df") - 1) / 2)).collect()(0).getLong(0)
+        .agg(coalesce(sum(floor(col("df") * (col("df") - 1) / 2).cast("long")),
+          lit(0L))).collect()(0).getLong(0)
       println(s"PROBE cap=$cap candidate_pair_rows_upper=$pairsUpper")
     }
     spark.stop()

@@ -73,6 +73,26 @@ class CheckpointSpec extends AnyFunSuite {
     assert(m1.head.lineage !== m2.head.lineage)
   }
 
+  test("manifest reader is a real JSON parser: reordered fields round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt5").toString
+    val (_, m1) = Checkpoint.filterJob(spark, docs, expr, root, "j5",
+      parts = 2, inputFingerprint = "fp")
+    val written = Checkpoint.readManifest(root, "j5", 0).get
+    assert(written === m1.head)
+    // rewrite the manifest with fields in a DIFFERENT order (and extra
+    // whitespace): a string-split reader mis-parses this; JSON must not care
+    val p = java.nio.file.Paths.get(root, "j5", "part=00000", "_manifest.json")
+    java.nio.file.Files.writeString(p,
+      s"""{ "wall_ms": ${written.wallMs}, "rows_out": ${written.rowsOut},
+         |  "lineage": "${written.lineage}", "rows_in": ${written.rowsIn},
+         |  "part": 0, "job": "j5" }""".stripMargin)
+    assert(Checkpoint.readManifest(root, "j5", 0).get === written)
+    // and resume still treats the reordered manifest as committed
+    val (_, m2) = Checkpoint.filterJob(spark, docs, expr, root, "j5",
+      parts = 2, inputFingerprint = "fp")
+    assert(m2.head.wallMs === written.wallMs, "bucket 0 not recomputed")
+  }
+
   test("editing an id-list file invalidates the lineage on resume") {
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
     val f = java.nio.file.Files.createTempFile("graft-ckpt-ids", ".txt")
