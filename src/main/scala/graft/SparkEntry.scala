@@ -312,6 +312,28 @@ object SparkEntry {
         |FROM t a, t b WHERE a.doc_id < b.doc_id AND a.mt = b.mt
         |ORDER BY key_a, key_b""".stripMargin,
 
+    "dedup_winnowed" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM documents WHERE doc_id < 40),
+        |t AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+        |  FROM u)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |FROM t a, t b WHERE a.doc_id < b.doc_id AND a.nt = b.nt
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH e AS (
+        |  SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 23 < 16),
+        |v AS (SELECT a AS key FROM e UNION SELECT b FROM e),
+        |g AS (SELECT key, key - row_number() OVER (ORDER BY key) AS grp FROM v)
+        |SELECT key, min(key) OVER (PARTITION BY grp) AS cluster
+        |FROM g ORDER BY key""".stripMargin,
+
     "sim_cosine_dups" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -185,6 +185,44 @@ object Queries {
         .orderBy("key_a", "key_b")
     },
 
+    "dedup_winnowed" -> { (spark, sfDir) =>
+      // identical normalized text ⇒ identical winnowed fingerprint sets ⇒
+      // overlap = 1.0, and with the doc-frequency cut disabled candidacy is
+      // GUARANTEED (every pair sharing a fingerprint is generated), so
+      // restricting the emitted pairs to normalized-text-equal pairs makes
+      // the output provably equal the SQL-recomputable set
+      // {(a,b) : normalized_text(a) = normalized_text(b)} — a recall miss
+      // in the operator shows as a missing row vs the oracle. Sub-1.0
+      // thresholds and the df cut stay covered by OpsSpec.
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val seeded = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val u = docs.unionByName(seeded)
+      val pairs = Dedup.winnowedDupPairs(u, col("text"), col("doc_id"),
+        k = 8, w = 4, threshold = 1.0, maxDocFreq = Int.MaxValue)
+      val norm = u.select(col("doc_id"), TextOps.normalizedText(col("text")).as("nt"))
+      pairs
+        .join(norm.select(col("doc_id").as("key_a"), col("nt").as("nt_a")), "key_a")
+        .join(norm.select(col("doc_id").as("key_b"), col("nt").as("nt_b")), "key_b")
+        .filter(col("nt_a") === col("nt_b"))
+        .select(col("key_a"), col("key_b")).orderBy("key_a", "key_b")
+    },
+    "dedup_clusters" -> { (spark, sfDir) =>
+      // connected components over a deterministic, SQL-recomputable edge
+      // list: (doc_id, doc_id+1) whenever doc_id % 23 < 16 and both ends
+      // exist — per 23-block, a 17-vertex chain (diameter 16), so the gate
+      // exercises real multi-round transitive closure, not just cliques.
+      // The oracle re-derives components with gaps-and-islands SQL.
+      val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+      val edges = d.filter(col("doc_id") % 23 < 16)
+        .select(col("doc_id").as("key_a"))
+        .join(d.select(col("doc_id").as("key_b")),
+          col("key_b") === col("key_a") + 1)
+      Dedup.dupClusters(edges)
+        .select(col("key"), col("cluster")).orderBy("key")
+    },
+
     // --- similarity ----------------------------------------------------------------
     "sim_topk" -> { (spark, sfDir) =>
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -154,6 +154,19 @@ object DeterministicGen {
     spark.createDataset(docRows(sf, seed)).toDF()
   }
 
+  /** Deterministic distributed embedding corpus: `n` vectors of `dim`
+    * uniform-[-1,1] floats, generated columnar on executors (no driver
+    * loop, no RNG object) — the bench/scaling fixture for the similarity
+    * ops. Schema matches the driver's embeddings table (vec_id, embedding). */
+  def embeddingsDF(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(0, n, 1, math.max(32, (n / 250000).toInt))
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => ((pmod(xxhash64(col("id"), i), lit(2001L)) - 1000L) / 1000.0)
+            .cast("float")).as("embedding"))
+  }
+
   // --- spatial fixtures (FIXTURES.md §3) -----------------------------------
 
   final case class PolygonFixture(polygon_id: Long,

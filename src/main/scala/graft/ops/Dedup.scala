@@ -175,6 +175,66 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Duplicate-cluster resolution: connected components over a dup-pairs
+    * DataFrame (columns `key_a`, `key_b` — the output shape of every pair
+    * operator above). Returns `(key, cluster)` for every key that appears in
+    * a pair, where `cluster` is the component's minimum key. This is the
+    * missing last stage of a real training-data dedup: pair detection is not
+    * a dedup until pairs are transitively closed (a~b, b~c ⇒ {a,b,c} is ONE
+    * group) and one canonical doc survives per group.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint, DataFrames
+    * only — each round (1) every edge offers each endpoint's label to the
+    * other, keep the min per key; (2) pointer-jumping compression
+    * (L(k) := L(L(k))) collapses label chains so convergence is
+    * O(log diameter) rounds, not O(diameter); (3) stop when no label
+    * changed. Each round is a pair of hash-shuffles on the key — no
+    * cartesian, no driver-side adjacency. `localCheckpoint` between rounds
+    * truncates the growing plan lineage (the SpatialOps ladder pattern);
+    * AQE handles skewed hub keys. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("key"))
+      .unionByName(edges.select(col("b").as("key")))
+      .distinct().withColumn("cluster", col("key")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val la = edges.join(labels, edges("a") === labels("key"))
+        .select(col("b").as("key"), col("cluster"))
+      val lb = edges.join(labels, edges("b") === labels("key"))
+        .select(col("a").as("key"), col("cluster"))
+      val prop = labels.unionByName(la).unionByName(lb)
+        .groupBy("key").agg(min("cluster").as("cluster"))
+      // pointer jumping: a label is itself a vertex key, so one extra hop
+      // through the label table halves the remaining chain length
+      val hop = prop.select(col("key").as("ck"), col("cluster").as("cc"))
+      val compressed = prop.join(hop, prop("cluster") === hop("ck"), "left")
+        .select(prop("key"), coalesce(col("cc"), prop("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      val changed = compressed.alias("n")
+        .join(labels.select(col("key"), col("cluster").as("old")), Seq("key"))
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = compressed
+      converged = changed == 0L
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIters rounds (log-diameter > $maxIters?)")
+    labels
+  }
+
+  /** Keeps one survivor per duplicate cluster: the cluster representative
+    * (minimum key) plus every un-clustered doc. `clusters` is
+    * [[dupClusters]] output; the join is a broadcast-or-shuffle hash join on
+    * the key — never wider than the duplicate set. */
+  def dedupByClusters(docs: DataFrame, keyCol: Column, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("key") =!= col("cluster"))
+        .select(col("key").as("__dup_key")),
+      keyCol === col("__dup_key"), "left_anti")
+
   /** Near-duplicate pairs by winnowed-fingerprint overlap
     * ([[TextOps.winnowedFingerprints]]): explode fingerprints, equi-join on
     * the fingerprint value (candidates only — never a cross product), count

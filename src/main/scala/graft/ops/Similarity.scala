@@ -4,17 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over an embedding column (`array<float>`), pure
-  * Columns: zip_with/aggregate dot products (codegen'd), window top-k.
+/** Similarity search over an embedding column (`array<float>`): codegen'd
+  * [[graft.exprs.VectorDot]] dot products, window top-k.
   * Baseline: brute-force cosine top-k. Scale path: random-hyperplane LSH
   * bucketing so each query only scans its bucket's candidates; exact re-rank
   * inside the bucket; deterministic hyperplanes from a seeded generator. */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd dot product (semantics identical to [[dotHof]], which stays
+    * as the test oracle — the HOF form is CodegenFallback and was the hot
+    * loop's bottleneck at 100 TB of embeddings). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.exprs.VectorDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** The HOF composition VectorDot replaces — kept as the equivalence
+    * oracle (CodegenFallback; do not use on a scale path). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private[graft] def normHof(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
 
   def cosine(a: Column, b: Column): Column = {
@@ -35,6 +48,14 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rn")
   }
 
+  /** First `probes` XOR masks in full signature hamming order (all 1-bit
+    * flips, then 2-bit, … up to all bits) — the shared multi-probe ladder of
+    * [[lshTopK]] and [[cosineDupPairs]]. */
+  private def hammingFlips(bits: Int, probes: Int): Seq[Long] =
+    (1 to bits).iterator.flatMap(k =>
+      (0 until bits).combinations(k).map(_.map(1L << _).sum))
+      .take(probes).toSeq
+
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
@@ -42,12 +63,10 @@ object Similarity {
   }
 
   /** Sign-bit signature of an embedding against broadcast-literal planes —
-    * pure Columns, one pass. */
+    * one codegen'd dot product per plane, one pass. */
   def lshSignature(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(aggregate(zip_with(emb, planeLit, (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dotLit(emb, p) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed ANN top-k: bucket corpus and queries by hyperplane
@@ -65,10 +84,7 @@ object Similarity {
     // multi-probe: the bucket itself + `probes` nearest buckets in full
     // signature hamming order (1-bit flips, 2-bit, … up to all bits), so
     // probes = 2^bits - 1 degrades gracefully to an exact full scan
-    val flips: Seq[Long] = (1 to bits).iterator.flatMap(k =>
-      (0 until bits).combinations(k).map(_.map(1L << _).sum))
-      .take(probes).toSeq
-    val probeCols = lit(0L) +: flips.map(lit(_))
+    val probeCols = lit(0L) +: hammingFlips(bits, probes).map(lit(_))
     val qBuckets = qSig.select(col("query_id"), col("q_emb"),
       explode(array(probeCols.map(p => col("sig").bitwiseXOR(p)): _*)).as("bucket"))
     val scored = c.join(qBuckets, Seq("bucket"))
@@ -82,8 +98,7 @@ object Similarity {
   // --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
 
   private def dotLit(emb: Column, v: Array[Double]): Column =
-    aggregate(zip_with(emb, array(v.map(lit): _*), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
+    dot(emb, array(v.map(lit): _*))
 
   private def normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -147,18 +162,37 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucket
-    * self-join + exact verify (no cross product). */
+    * self-join + exact verify (no cross product).
+    *
+    * `probes` > 0 reuses [[lshTopK]]'s hamming-order probe ladder on one
+    * side of the self-join: a near-but-not-identical duplicate whose
+    * signature differs in ≤h bits is a guaranteed candidate once `probes`
+    * covers hamming distance h (`probes >= Σ_{k<=h} C(bits,k)`), so recall
+    * for cos≈1 pairs that straddle a hyperplane is a knob, not luck.
+    * probes = 0 keeps exact-signature candidacy (identical vectors always
+    * collide — the gate parameterization).
+    *
+    * Scale shape: the bucket self-join ships (bucket, key) ONLY; candidate
+    * pairs are dedup'd before the embeddings are re-attached by two narrow
+    * key joins for the exact verify. */
   def cosineDupPairs(corpus: DataFrame, keyCol: Column, threshold: Double,
-                     dim: Int, bits: Int = 10, seed: Long = 42L): DataFrame = {
+                     dim: Int, bits: Int = 10, seed: Long = 42L,
+                     probes: Int = 0): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
     val c = corpus.select(keyCol.as("key"), col("embedding"))
-      .withColumn("bucket", lshSignature(col("embedding"), planes))
-    val l = c.select(col("bucket"), col("key").as("key_a"), col("embedding").as("emb_a"))
-    val r = c.select(col("bucket"), col("key").as("key_b"), col("embedding").as("emb_b"))
-    l.join(r, Seq("bucket"))
+      .withColumn("sig", lshSignature(col("embedding"), planes))
+    val probeCols = lit(0L) +: hammingFlips(bits, probes).map(lit(_))
+    val l = c.select(col("key").as("key_a"),
+      explode(array(probeCols.map(p => col("sig").bitwiseXOR(p)): _*)).as("bucket"))
+    val r = c.select(col("sig").as("bucket"), col("key").as("key_b"))
+    val candidates = l.join(r, Seq("bucket"))
       .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b").distinct()
+    val embTbl = c.select(col("key"), col("embedding"))
+    candidates
+      .join(embTbl.select(col("key").as("key_a"), col("embedding").as("emb_a")), "key_a")
+      .join(embTbl.select(col("key").as("key_b"), col("embedding").as("emb_b")), "key_b")
       .select(col("key_a"), col("key_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= threshold)
-      .groupBy("key_a", "key_b").agg(first("cos").as("cos"))
   }
 }

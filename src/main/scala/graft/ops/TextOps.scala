@@ -74,18 +74,34 @@ object TextOps {
     * a way whole-doc hashing is not. Per-gram hashing is xxhash64 over the
     * substring: the classic Rabin-Karp ROLLING update is a sequential
     * single-node optimization; a columnar engine evaluates each window's
-    * hash independently (and in parallel), same fingerprint role. Docs
-    * shorter than k chars yield their whole-text hash.
+    * hash independently (and in parallel), same fingerprint role — but the
+    * window MINIMUM does roll: the kernel's monotonic deque makes winnowing
+    * O(grams), not O(grams·w). Docs shorter than k chars yield their
+    * whole-text hash.
     *
-    * This is a DataFrame-level op (not Column-in/Column-out) ON PURPOSE:
-    * the normalized text and the gram array must be materialized as real
-    * attributes between projection steps — referencing them from inside the
-    * next step's lambda would re-evaluate them PER ARRAY ELEMENT (an O(n²)
-    * regex/hash blowup per row). Each intermediate is referenced more than
-    * once by a non-cheap consumer, which is exactly the condition under
-    * which Catalyst's CollapseProject keeps the projections separate. */
+    * Executes as the codegen'd [[graft.exprs.WinnowFingerprints]] kernel —
+    * one leaf call per row, immune to the projection-collapse blowup of the
+    * HOF pipeline below. */
   def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, text: Column,
-                           out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+                           out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, winnowedFingerprintsCol(text, k, w))
+
+  /** Column form of [[winnowedFingerprints]]. */
+  def winnowedFingerprintsCol(text: Column, k: Int = 8, w: Int = 4): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.exprs.WinnowFingerprints(
+      GraftBridge.expression(text), k, w))
+  }
+
+  /** The HOF pipeline the codegen'd kernel replaced — kept as the
+    * equivalence oracle (see WinnowKernelSpec). The intermediates must stay
+    * materialized as real attributes (withColumn steps): referencing them
+    * from inside the next step's lambda re-evaluates them PER ARRAY ELEMENT,
+    * and under Generate/join plans the optimizer re-inlines the whole tree
+    * into consumers anyway (measured: 315 s to explode 340 docs'
+    * fingerprints at sf0.01). Do not use on a scale path. */
+  private[graft] def winnowedFingerprintsHof(df: org.apache.spark.sql.DataFrame, text: Column,
+                                             out: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
     val normCol = "__wf_norm"; val gramsCol = "__wf_grams"
     df.withColumn(normCol, normalizedText(text))

@@ -268,6 +268,95 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters resolves transitive chains to min-key components (union-find ground truth)") {
+    // a long chain (diameter 19 — forces multi-round propagation), a star,
+    // a triangle, an isolated pair, and a zigzag that merges through a hub
+    val edges: Seq[(Long, Long)] =
+      (0L until 19L).map(i => (i, i + 1)) ++
+        (101L to 110L).map(i => (100L, i)) ++
+        Seq((200L, 201L), (201L, 202L), (200L, 202L)) ++
+        Seq((300L, 301L)) ++
+        Seq((400L, 405L), (402L, 405L), (401L, 402L))
+    val pairs = edges.toDF("key_a", "key_b")
+    val clusters = Dedup.dupClusters(pairs)
+    val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth (attach larger root under smaller,
+    // so every root is its component's minimum key)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got === verts.map(v => v -> find(v)).toMap)
+    // chain 0..19 collapsed into ONE cluster rooted at 0
+    assert((0L to 19L).forall(got(_) == 0L))
+    // survivors: cluster representative + un-clustered docs
+    val docs = (verts :+ 999L).toDF("doc_id")
+    val survivors = Dedup.dedupByClusters(docs, col("doc_id"), clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === verts.map(find).toSet + 999L)
+    // no cartesian anywhere in the resolved plan
+    val plan = clusters.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("cosineDupPairs multi-probe recovers a straddling near-dup that probes=0 misses") {
+    val dim = 32; val bits = 8
+    val planes = Similarity.hyperplanes(dim, bits) // same seed the op uses
+    // exact replica of lshSignature's arithmetic (dotFD: float→double
+    // promote, sequential accumulate), so the construction below predicts
+    // the op's buckets precisely
+    def scores(v: Array[Float]): Array[Double] = planes.map { p =>
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += v(j).toDouble * p(j); j += 1 }
+      acc
+    }
+    def sig(v: Array[Float]): Long =
+      scores(v).zipWithIndex.map { case (s, i) => if (s > 0) 1L << i else 0L }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // search seeded perturbations for a pair with cos >= 0.999 whose
+    // signatures differ in EXACTLY one bit (one straddled hyperplane)
+    val pair = (0 until 500).iterator.flatMap { s =>
+      val rng = new scala.util.Random(1000 + s)
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+      val sc = scores(v)
+      val j = sc.indices.minBy(i => math.abs(sc(i)))
+      val pj = planes(j); val pn2 = pj.map(x => x * x).sum
+      (1 to 20).iterator.map { t =>
+        val delta = -sc(j) / pn2 * (1.0 + 0.05 * t)
+        (v, v.indices.map(i => (v(i) + delta * pj(i)).toFloat).toArray)
+      }.find { case (a, b) =>
+        java.lang.Long.bitCount(sig(a) ^ sig(b)) == 1 && cos(a, b) >= 0.999 }
+    }.buffered.headOption
+    assert(pair.isDefined, "no straddling near-dup found in the search budget")
+    val (v, w) = pair.get
+    val filler = (0 until 50).map { i =>
+      val rng = new scala.util.Random(9000 + i)
+      (100L + i, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val corpus = (Seq((1L, v.toSeq), (2L, w.toSeq)) ++ filler)
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def pairsAt(probes: Int): Set[(Long, Long)] =
+      Similarity.cosineDupPairs(corpus, col("vec_id"), 0.999, dim = dim,
+        bits = bits, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairsAt(0).contains((1L, 2L)),
+      "probes=0 should miss the straddling pair (buckets differ by 1 bit)")
+    assert(pairsAt(bits).contains((1L, 2L)),
+      "probes=bits must cover every 1-bit-distant bucket")
+  }
+
   test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {
     val docs = graft.fixtures.DeterministicGen.docsDF(spark, 0.001)
     val view = graft.model.OsmView.derive(docs)
