@@ -166,12 +166,24 @@ object Bench {
     results("dedup_simhash") = median3(
       Dedup.simhashDupPairs(documents, col("text"), col("doc_id"),
         bands = 4, maxHamming = 6).count())
-    // dedup_winnowed is deliberately NOT benched on this fixture: the
-    // generator draws text from a tiny phrase vocabulary (6,459 distinct
-    // fingerprints across 5,000 docs, mean df≈83 — tools.WinnowSizeProbe),
-    // so nearly every doc pair is a true candidate and the result set
-    // itself degenerates toward O(n²); that measures the corpus, not the
-    // operator. OpsSpec verifies the op on the sf0.001 table.
+    // winnowed dedup runs on the high-vocabulary fixture, NOT the driver
+    // documents table: that table draws from a tiny phrase vocabulary
+    // (mean fingerprint df≈83 — tools.WinnowSizeProbe), so nearly every
+    // pair is a true candidate and the answer itself degenerates toward
+    // O(n²) — measuring the corpus, not the operator. The hv corpus has
+    // realistic df (≈1) and a seeded 2% exact-dup rate (~hvCount/50 pairs).
+    val hvCount = math.max(20000L, (sf * 500000).toLong)
+    val hvPath = s"/root/repo/target/bench/hvdocs_n$hvCount"
+    if (!new java.io.File(hvPath + "/_SUCCESS").exists())
+      DeterministicGen.highVocabDocsDF(spark, hvCount)
+        .repartition(cpus.toInt * 2)
+        .write.mode("overwrite").parquet(hvPath)
+    val hvDocs = spark.read.parquet(hvPath).cache()
+    val nHv = hvDocs.count()
+    results("dedup_winnowed") = median3(
+      Dedup.winnowedDupPairs(hvDocs, col("text"), col("doc_id"),
+        k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000).count())
+    val winnowDps = nHv.toDouble / results("dedup_winnowed")
     results("text_analysis") = median3(
       documents.select(
         graft.ops.TextOps.tokenCountWs(col("text")),
@@ -191,7 +203,7 @@ object Bench {
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv}"""
     println(json)
     // belt-and-braces for the driver: a file copy free of any logger prefixing
     val out = java.nio.file.Paths.get("/root/repo/target/bench/bench.json")

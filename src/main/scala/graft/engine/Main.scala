@@ -56,13 +56,23 @@ object Main {
         case "--parts"                  => parts = argValue(i).toInt; i += 2
         case "-h" | "--help" =>
           System.out.println(
-            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT, -f parquet|json|csv, -n dry-run, -v verbose, -w complete-ways, --progress, --extended-syntax, --checkpoint ROOT [--job NAME --parts N]")
+            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT ('-' = JSON lines to stdout), -f parquet|json|csv, -n dry-run, -v verbose, -w complete-ways, --progress, --extended-syntax, --checkpoint ROOT [--job NAME --parts N]")
           return
         case other => input = other; i += 1
       }
     }
     if (expression.nonEmpty && exprFile.nonEmpty) {
       System.err.println("Do not use --expression/-e and --expression-file/-E together")
+      sys.exit(2)
+    }
+    // the reference defaults INPUT and OUTPUT to `-` (stdin/stdout,
+    // main.cpp:59-61). The stdout half has a faithful analog (`-o -` below);
+    // stdin does not — a parquet source is a seekable directory, not a byte
+    // stream — so `-` as input is refused with a clear message rather than a
+    // confusing FileNotFoundException.
+    if (input == "-") {
+      System.err.println(
+        "stdin input ('-') is not supported: the input is a parquet docs table; pass a path")
       sys.exit(2)
     }
     if (exprFile.nonEmpty)
@@ -108,7 +118,16 @@ object Main {
         df
       } else FilterEngine.filter(docs, expression, loader, sugar)
 
-    if (output.nonEmpty) FilterEngine.writeOrdered(filtered, output, outputFormat)
+    // `-o -` pipes the result to stdout as seq-ordered JSON lines — the
+    // shell-pipeline analog of the reference's stdout default; partitions
+    // stream through the driver one at a time (toLocalIterator), so this
+    // never collects the full result. Absent -o prints the count (documented
+    // Spark-driver deviation: a row dump as the IMPLICIT default surprises
+    // in spark-submit logs).
+    if (output == "-")
+      filtered.orderBy("seq").toJSON.toLocalIterator()
+        .forEachRemaining(System.out.println(_))
+    else if (output.nonEmpty) FilterEngine.writeOrdered(filtered, output, outputFormat)
     else System.out.println(filtered.count())
     if (progress) System.err.println()
     spark.stop()

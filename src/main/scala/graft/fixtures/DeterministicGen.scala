@@ -167,6 +167,29 @@ object DeterministicGen {
             .cast("float")).as("embedding"))
   }
 
+  /** High-vocabulary synthetic document corpus for the winnowed-dedup bench:
+    * `n` docs of 30-119 tokens drawn uniformly from a `vocab`-token
+    * vocabulary (tokens are hex-encoded hashes — no phrase templates), so
+    * fingerprint document-frequency stays realistic (mean df ≈ 1-2) instead
+    * of the driver documents table's degenerate mean df ≈ 83. Every
+    * `dupEvery`-th doc (offset `dupOffset`) is an exact copy of its
+    * predecessor, giving the dup-pair query a known non-trivial answer of
+    * ~n/dupEvery pairs. Columnar generation on executors (content derived
+    * from xxhash64 of a content-id; duplicates share the content-id), no
+    * driver loop — scales to any `n`. */
+  def highVocabDocsDF(spark: SparkSession, n: Long, vocab: Long = 50000L,
+                      dupEvery: Int = 50, dupOffset: Int = 17): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(dupOffset >= 1 && dupOffset < dupEvery)
+    val contentId = when(pmod(col("id"), lit(dupEvery.toLong)) === dupOffset,
+      col("id") - 1).otherwise(col("id"))
+    spark.range(0, n, 1, math.max(32, (n / 100000).toInt))
+      .select(col("id").as("doc_id"), contentId.as("cid"))
+      .select(col("doc_id"), concat_ws(" ", transform(
+        sequence(lit(0), pmod(xxhash64(col("cid")), lit(90L)) + 29),
+        i => lower(hex(pmod(xxhash64(col("cid"), i), lit(vocab)))))).as("text"))
+  }
+
   // --- spatial fixtures (FIXTURES.md §3) -----------------------------------
 
   final case class PolygonFixture(polygon_id: Long,

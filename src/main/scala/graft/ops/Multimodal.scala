@@ -22,6 +22,60 @@ object Multimodal {
   final case class FrameSample(doc_id: String, media_ref: String,
                                frame_idx: Int, frame_hash: Long)
 
+  /** Real pure-JVM header parsing for the two image formats whose
+    * dimensions live in fixed-layout headers — PNG IHDR and JPEG SOF are
+    * plain byte reads, no codec library involved. Payload dimensions are
+    * REAL whenever real payloads flow through [[decodeImages]]; pixel-level
+    * work (features, frames) stays behind [[StubCodecs]]. */
+  object HeaderCodecs {
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    private val PngSig =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (len, "IHDR", width BE32,
+      * height BE32) — width at offset 16, height at 20. */
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((u32(b, 16), u32(b, 20)))
+      else None
+
+    /** JPEG: walk the marker segments from SOI to the first SOF0-SOF15
+      * frame header (skipping DHT/JPG/DAC which reuse the 0xCx space);
+      * its payload is precision(1), height(2 BE), width(2 BE). */
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        var m = b(i + 1) & 0xff
+        while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone marker
+        else if (m == 0xd9 || m == 0xda) return None // EOI / entropy data: no SOF seen
+        else {
+          if (i + 3 >= b.length) return None
+          val len = u16(b, i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return if (len >= 7) Some((u16(b, i + 7), u16(b, i + 5))) else None
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** (width, height, format) when the payload is a parseable PNG/JPEG. */
+    def imageDims(b: Array[Byte]): Option[(Int, Int, String)] =
+      pngDims(b).map { case (w, h) => (w, h, "png") }
+        .orElse(jpegDims(b).map { case (w, h) => (w, h, "jpeg") })
+  }
+
   /** STUB codec boundary: deterministic fakes derived from the payload
     * bytes. Replace with real imageio/ffmpeg calls in production. */
   object StubCodecs {
@@ -52,14 +106,21 @@ object Multimodal {
   /** Batch image decode + feature extraction: partition-wise typed
     * mapPartitions (no per-row task overhead, no driver collect). The
     * partitioning of the input is preserved — callers repartition by doc_id
-    * upstream if they need co-location with the docs table. */
+    * upstream if they need co-location with the docs table.
+    *
+    * Dimensions and format come from REAL header parsing
+    * ([[HeaderCodecs]]) when the payload is a PNG or JPEG; other payloads
+    * (including the fixture's synthetic sha2 blobs, which is why the
+    * `multimodal_decode` gate stays rows-only) fall back to the
+    * deterministic stub. */
   def decodeImages(media: DataFrame, featureDim: Int = 16): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "media_ref", "bytes").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, fmt) = StubCodecs.decodeImage(r.bytes)
+          val (w, h, fmt) = HeaderCodecs.imageDims(r.bytes)
+            .getOrElse(StubCodecs.decodeImage(r.bytes))
           DecodedImage(r.doc_id, r.media_ref, w, h, fmt,
             StubCodecs.extractFeature(r.bytes, featureDim))
         }

@@ -35,6 +35,28 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Exact top-k per query in two phases: a salted local top-k
+    * (`pmod(vec_id, salts)` sub-groups) bounds every sort to its group's
+    * rows, then the global rank orders only ≤ salts·k survivors per query.
+    * EXACT: any row in a query's true global top-k has < k rows above it in
+    * its own salt group, so it survives phase 1; both phases share the
+    * (cos desc, vec_id) tie-break, so output rows and rn values equal the
+    * single-window form. The single window — partitionBy(query_id) alone —
+    * caps parallelism at the query count and fully sorts each query's
+    * candidate set in ONE task (3M rows per task on the 3M-corpus scaling
+    * fixture: N→4N efficiency 0.64); two-phase restores parallelism
+    * queries × salts and O(rows) total work. */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+    val wLocal = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(salts.toLong)))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val local = scored.withColumn("rn", row_number().over(wLocal))
+      .filter(col("rn") <= k).drop("rn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    local.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cos", "rn")
+  }
+
   /** Brute-force cosine top-k: queries × corpus, exact. The corpus side
     * streams; the query side broadcasts. O(Q·N) — the ground-truth baseline
     * and the right tool when Q is small. */
@@ -42,10 +64,7 @@ object Similarity {
     val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
     val scored = corpus.crossJoin(broadcast(q))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "vec_id", "cos", "rn")
+    topKPerQuery(scored, k)
   }
 
   /** First `probes` XOR masks in full signature hamming order (all 1-bit
@@ -87,12 +106,11 @@ object Similarity {
     val probeCols = lit(0L) +: hammingFlips(bits, probes).map(lit(_))
     val qBuckets = qSig.select(col("query_id"), col("q_emb"),
       explode(array(probeCols.map(p => col("sig").bitwiseXOR(p)): _*)).as("bucket"))
+    // a corpus vector has ONE bucket and a query's probe buckets are
+    // distinct XOR masks, so each (query, vec) candidate joins exactly once
     val scored = c.join(qBuckets, Seq("bucket"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "vec_id", "cos", "rn")
+    topKPerQuery(scored, k)
   }
 
   // --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
@@ -153,12 +171,11 @@ object Similarity {
         explode(slice(reverse(array_sort(scoreArr)), 1, nProbe)))
       .withColumn("cid", col("probe").getField("ni") * -1)
       .drop("probe")
+    // each (query, vec) joins at most once: a corpus vector has one cid and
+    // a query's probe list is distinct centroid ids
     val scored = bucketed.join(broadcast(probes), Seq("cid"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "vec_id", "cos", "rn")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucket

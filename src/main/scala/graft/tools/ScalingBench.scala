@@ -54,6 +54,17 @@ object ScalingBench {
     } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // mode "typed" (default) / "decode": the filter+spatial suites below.
+    // mode "ops": the shuffling training-data operators (minhash-LSH,
+    // winnowed dedup, brute cosine top-k) — N-vs-4N evidence for the ops
+    // layer, where the shuffle (band keys / fingerprint keys) is the thing
+    // whose scaling needs proving; `n` is the hv-doc count (default 300k).
+    if (args.length > 2 && args(2) == "ops") {
+      runOps(spark, master, cores, if (args.length > 1) args(1).toLong else 300000L)
+      spark.stop()
+      return
+    }
+
     val docsPath = s"/root/repo/target/bench/docs_dist_n$n"
     val viewPath = docsPath + "_view"
     if (!new java.io.File(viewPath + "/_SUCCESS").exists()) {
@@ -120,5 +131,51 @@ object ScalingBench {
 
     println(f"""{"scaling_probe":true,"mode":"$mode","master":"$master","cores":$cores,"docs":$nDocs,"filter_sec":$tFilter%.2f,"filter_elements_per_sec":$filterEps%.0f,"spatial_sec":$tSpatial%.2f,"spatial_rows_per_sec":$spatialRps%.0f}""")
     spark.stop()
+  }
+
+  /** Ops-layer scaling run: same parquet fixtures, same jobs, two
+    * parallelism levels. Both fixtures are materialized once and shared by
+    * the N and 4N runs so the comparison is on identical bytes. */
+  private def runOps(spark: SparkSession, master: String, cores: Int,
+                     hvN: Long): Unit = {
+    import graft.ops.{Dedup, Similarity}
+    val hvPath = s"/root/repo/target/bench/hvdocs_dist_n$hvN"
+    if (!new java.io.File(hvPath + "/_SUCCESS").exists())
+      DeterministicGen.highVocabDocsDF(spark, hvN)
+        .repartition(math.max(64, (hvN / 25000).toInt))
+        .write.mode("overwrite").parquet(hvPath)
+    val embN = 3000000L
+    val embPath = s"/root/repo/target/bench/emb_dist_n${embN}_d64"
+    if (!new java.io.File(embPath + "/_SUCCESS").exists())
+      DeterministicGen.embeddingsDF(spark, embN, dim = 64)
+        .write.mode("overwrite").parquet(embPath)
+
+    val hv = spark.read.parquet(hvPath)
+    val emb = spark.read.parquet(embPath)
+    val nHv = hv.count(); val nEmb = emb.count()
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // build each op DataFrame once, warm (analysis+codegen+JIT), best-of-3
+    // — the protocol and rationale of the filter/spatial suites above
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame, Long)] = Seq(
+      ("minhash_lsh", Dedup.minhashDupPairs(hv, col("text"), col("doc_id"),
+        ngram = 3, numHashes = 16, bands = 4, threshold = 0.5), nHv),
+      ("winnowed", Dedup.winnowedDupPairs(hv, col("text"), col("doc_id"),
+        k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000), nHv),
+      ("brute_topk", Similarity.bruteTopK(emb, q, 10), nEmb))
+    val timed = ops.map { case (name, df, rows) =>
+      df.count() // warm
+      val t = Seq(time(df.count()), time(df.count()), time(df.count())).min
+      System.err.println(f"OPS_PART $name $t%.2f s")
+      (name, t, rows / t)
+    }
+    val fields = timed.map { case (name, t, rps) =>
+      f""""${name}_sec":$t%.2f,"${name}_rows_per_sec":$rps%.0f""" }.mkString(",")
+    println(f"""{"scaling_probe":true,"mode":"ops","master":"$master","cores":$cores,"hv_docs":$nHv,"emb_rows":$nEmb,$fields}""")
   }
 }

@@ -306,6 +306,25 @@ class OpsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("two-phase top-k is exact when the whole top-k shares one salt group") {
+    // the true top-10 all live at vec_id ≡ 0 (mod 64) — one salt group — so
+    // a buggy local phase that kept < k rows per group would drop winners
+    val dim = 8
+    val q = Array.fill(dim)(1.0f)
+    val winners = (0 until 15).map(i => (i * 64L, q.toSeq)) // cos = 1
+    val rng = new scala.util.Random(7)
+    val rest = (0 until 400).map { i =>
+      (1000L + i, Array.fill(dim)(rng.nextGaussian().toFloat * 0.1f - 0.5f).toSeq)
+    }
+    val corpus = (winners ++ rest).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val queries = Seq((0L, q.toSeq)).toDF("query_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.bruteTopK(corpus, queries, 10)
+      .orderBy("rn").collect().map(_.getAs[Long]("vec_id"))
+    assert(got.toSeq === (0 until 10).map(_ * 64L), "tie-break by vec_id over one salt group")
+  }
+
   test("cosineDupPairs multi-probe recovers a straddling near-dup that probes=0 misses") {
     val dim = 32; val bits = 8
     val planes = Similarity.hyperplanes(dim, bits) // same seed the op uses
@@ -355,6 +374,40 @@ class OpsSpec extends AnyFunSuite {
       "probes=0 should miss the straddling pair (buckets differ by 1 bit)")
     assert(pairsAt(bits).contains((1L, 2L)),
       "probes=bits must cover every 1-bit-distant bucket")
+  }
+
+  test("header codecs parse real PNG/JPEG dimensions; non-images fall back to the stub") {
+    // hand-built PNG: signature + IHDR(len=13) with width=640, height=480
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    assert(Multimodal.HeaderCodecs.imageDims(png) === Some((640, 480, "png")))
+    // hand-built JPEG: SOI, APP0 (16 bytes), DHT (must be skipped, it shares
+    // the 0xCx space), then SOF0 with precision=8, height=1080, width=1920
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, "JFIF".getBytes ++ Array.fill[Byte](10)(0)) ++
+      seg(0xc4, Array.fill[Byte](5)(1)) ++
+      seg(0xc0, Array[Byte](8, (1080 >> 8).toByte, (1080 & 0xff).toByte,
+        (1920 >> 8).toByte, (1920 & 0xff).toByte, 3))
+    assert(Multimodal.HeaderCodecs.imageDims(jpeg) === Some((1920, 1080, "jpeg")))
+    // truncated PNG (signature only) and arbitrary bytes: no parse
+    assert(Multimodal.HeaderCodecs.imageDims(png.take(12)) === None)
+    assert(Multimodal.HeaderCodecs.imageDims("not an image".getBytes) === None)
+    // end-to-end: a real PNG payload through decodeImages gets REAL dims;
+    // a synthetic payload falls back to the deterministic stub
+    val media = Seq(("d1", "media://png", png), ("d2", "media://blob", Array.fill[Byte](64)(7)))
+      .toDF("doc_id", "media_ref", "bytes")
+    val decoded = Multimodal.decodeImages(media).collect().map(d => d.media_ref -> d).toMap
+    assert(decoded("media://png").width === 640 && decoded("media://png").height === 480 &&
+      decoded("media://png").format === "png")
+    val stub = Multimodal.StubCodecs.decodeImage(Array.fill[Byte](64)(7))
+    assert((decoded("media://blob").width, decoded("media://blob").height,
+      decoded("media://blob").format) === stub)
   }
 
   test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {
