@@ -184,6 +184,16 @@ object Bench {
       Dedup.winnowedDupPairs(hvDocs, col("text"), col("doc_id"),
         k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000).count())
     val winnowDps = nHv.toDouble / results("dedup_winnowed")
+
+    // the pipeline's last stage: pairs → connected components → survivors.
+    // Pairs cached so the row times CLUSTER RESOLUTION, not pair detection.
+    val hvPairs = Dedup.winnowedDupPairs(hvDocs, col("text"), col("doc_id"),
+      k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000)
+      .select("key_a", "key_b").cache()
+    hvPairs.count()
+    results("dedup_clusters") = median3(
+      Dedup.dedupByClusters(hvDocs, col("doc_id"), Dedup.dupClusters(hvPairs)).count())
+    hvPairs.unpersist()
     results("text_analysis") = median3(
       documents.select(
         graft.ops.TextOps.tokenCountWs(col("text")),

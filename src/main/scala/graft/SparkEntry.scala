@@ -334,6 +334,18 @@ object SparkEntry {
         |SELECT key, min(key) OVER (PARTITION BY grp) AS cluster
         |FROM g ORDER BY key""".stripMargin,
 
+    "dedup_survivors" ->
+      """WITH e AS (
+        |  SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 23 < 16),
+        |v AS (SELECT a AS key FROM e UNION SELECT b FROM e),
+        |g AS (SELECT key, key - row_number() OVER (ORDER BY key) AS grp FROM v),
+        |c AS (SELECT key, min(key) OVER (PARTITION BY grp) AS cluster FROM g)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
+        |ORDER BY doc_id""".stripMargin,
+
     "sim_cosine_dups" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings

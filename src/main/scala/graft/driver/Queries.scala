@@ -222,6 +222,19 @@ object Queries {
       Dedup.dupClusters(edges)
         .select(col("key"), col("cluster")).orderBy("key")
     },
+    "dedup_survivors" -> { (spark, sfDir) =>
+      // the survivor half of cluster resolution over the SAME seeded edge
+      // list as dedup_clusters: every doc survives except non-representative
+      // members (key != component minimum) — the oracle re-derives the
+      // drop set with the same gaps-and-islands SQL.
+      val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+      val edges = d.filter(col("doc_id") % 23 < 16)
+        .select(col("doc_id").as("key_a"))
+        .join(d.select(col("doc_id").as("key_b")),
+          col("key_b") === col("key_a") + 1)
+      Dedup.dedupByClusters(d, col("doc_id"), Dedup.dupClusters(edges))
+        .select(col("doc_id")).orderBy("doc_id")
+    },
 
     // --- similarity ----------------------------------------------------------------
     "sim_topk" -> { (spark, sfDir) =>

@@ -259,7 +259,15 @@ object Dedup {
     * raise `k` (longer grams ⇒ more distinct fingerprints), raise
     * `threshold`, or lower `maxDocFreq` before running at scale — and treat
     * a mostly-hot fingerprint distribution (see tools.WinnowSizeProbe) as a
-    * signal the corpus needs exact dedup first. */
+    * signal the corpus needs exact dedup first.
+    *
+    * The plan reads the (key, text) projection three times (candidate
+    * generation + both re-attach sides), re-running the O(chars) fingerprint
+    * kernel each pass. This is deliberate: materializing the fingerprint
+    * table instead (persist/checkpoint) costs ~corpus-sized storage at
+    * 100 TB, while the re-reads are column-pruned scans that pipeline into
+    * their joins. Callers iterating many thresholds over one corpus should
+    * `.persist()` the input `docs` themselves. */
   def winnowedDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                        k: Int = 8, w: Int = 4, threshold: Double = 0.5,
                        maxDocFreq: Int = 1000): DataFrame = {
