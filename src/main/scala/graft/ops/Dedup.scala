@@ -261,13 +261,14 @@ object Dedup {
     * a mostly-hot fingerprint distribution (see tools.WinnowSizeProbe) as a
     * signal the corpus needs exact dedup first.
     *
-    * The plan reads the (key, text) projection three times (candidate
-    * generation + both re-attach sides), re-running the O(chars) fingerprint
-    * kernel each pass. This is deliberate: materializing the fingerprint
-    * table instead (persist/checkpoint) costs ~corpus-sized storage at
-    * 100 TB, while the re-reads are column-pruned scans that pipeline into
-    * their joins. Callers iterating many thresholds over one corpus should
-    * `.persist()` the input `docs` themselves. */
+    * The logical plan references the fingerprint derivation several times
+    * (candidate generation + both re-attach sides). At scale this does NOT
+    * mean repeated corpus passes: the duplicated subtrees shuffle on the
+    * same keys, so AQE's exchange reuse dedups them at runtime (verified:
+    * 3 ReusedExchange nodes in the final adaptive plan under shuffle joins
+    * — tools.PlanAudit). Materializing the fingerprint table explicitly
+    * would instead cost ~corpus-sized storage. Callers iterating many
+    * thresholds over one corpus should `.persist()` the input `docs`. */
   def winnowedDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                        k: Int = 8, w: Int = 4, threshold: Double = 0.5,
                        maxDocFreq: Int = 1000): DataFrame = {
