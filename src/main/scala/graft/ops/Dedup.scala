@@ -59,6 +59,18 @@ object Dedup {
     array(slots: _*)
   }
 
+  /** Per-band hashes of a minhash signature: band b hashes signature slots
+    * [b·perBand, (b+1)·perBand) with the band index as seed. Shared by the
+    * batch LSH join and the streaming near-dup state operator so their
+    * banding is identical by construction. */
+  private[graft] def bandHashes(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(bands * (numHashes / bands) == numHashes, "bands must divide numHashes")
+    val perBand = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        slice(sig, b * perBand + lit(1), lit(perBand))), b))
+  }
+
   /** MinHash-LSH near-duplicate pairs: signature → `bands` band keys →
     * equi-join within (band index, band hash) buckets → exact Jaccard
     * verification ≥ `threshold`. Returns (key_a, key_b, jaccard) with
@@ -70,9 +82,6 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                       ngram: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val rows = bands * (numHashes / bands)
-    require(rows == numHashes, "bands must divide numHashes")
-    val perBand = numHashes / bands
     val sig = docs.select(keyCol.as("key"),
       shingles(textCol, ngram).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
@@ -81,9 +90,7 @@ object Dedup {
     // itself; the shingles are re-attached for the surviving candidate pairs
     // (deduplicated across bands first) by two narrow key joins.
     val banded = sig.select(col("key"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * perBand + lit(1), lit(perBand))), b))))
+      posexplode(bandHashes(col("sig"), numHashes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
     val l = banded.select(col("band"), col("bandhash"), col("key").as("key_a"))
     val r = banded.select(col("band"), col("bandhash"), col("key").as("key_b"))
