@@ -208,6 +208,11 @@ object Bench {
     results("sim_brute_topk") = median3(Similarity.bruteTopK(embeddings, embQ, 10).count())
     results("sim_lsh_ann") = median3(
       Similarity.lshTopK(embeddings, embQ, 10, dim = 64, bits = 8, probes = 8).count())
+    // includes coarse-quantizer training (2 Lloyd rounds) every run — the
+    // operator's real cost, not just the probe-bucket scan
+    results("sim_ivf_ann") = median3(
+      Similarity.ivfTopK(embeddings, embQ, 10, dim = 64,
+        nCentroids = 16, nProbe = 4).count())
 
     // --- emit ------------------------------------------------------------------
     val total = results.values.sum

@@ -346,6 +346,13 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
         |ORDER BY doc_id""".stripMargin,
 
+    "events_windowed" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
     "sim_cosine_dups" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -236,6 +236,23 @@ object Queries {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // --- events (streaming surface, batch-executed for the oracle) ---------------
+    "events_windowed" -> { (spark, sfDir) =>
+      // EventStreams.windowedCounts runs batch or stream; batch execution
+      // (watermark is a no-op) makes it DuckDB-checkable. window_start goes
+      // out as epoch seconds (BIGINT both sides — arrow timestamp tz
+      // annotations differ between writers) and the double sum is rounded
+      // to the fixture's 2-decimal precision so accumulation order can't
+      // flip the hash.
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+      graft.streaming.EventStreams.windowedCounts(events, "1 hour", "10 minutes")
+        // NTZ → ltz → epoch seconds (session tz is UTC, like DuckDB epoch())
+        .select(col("window_start").cast("timestamp").cast("long").as("window_start"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // --- similarity ----------------------------------------------------------------
     "sim_topk" -> { (spark, sfDir) =>
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
