@@ -346,6 +346,29 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
         |ORDER BY doc_id""".stripMargin,
 
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','as','on','are','this','be','at','have','not'])) * 1.0 / len(toks) END AS stop_raw,
+        |    len(regexp_extract_all(text, '[\p{Lu}]')) AS ups,
+        |    len(regexp_extract_all(text, '[\p{L}]')) AS lets,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE len(regexp_extract_all(text, '[[:punct:]]')) * 1.0 / length(text) END AS punct
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN lets = 0 THEN 0.0 ELSE ups * 1.0 / lets END, 4) AS upper_ratio,
+        |  round(stop_raw, 4) AS stop_ratio,
+        |  round((least(length(text) / 500.0, 1.0)
+        |       + (CASE WHEN punct > 0.3 THEN 0.0 ELSE 1.0 - punct / 0.3 END)
+        |       + least(stop_raw * 4.0, 1.0)) / 3.0, 4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "events_windowed" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n,

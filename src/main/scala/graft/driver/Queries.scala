@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.compile.Compiler
 import graft.engine.FilterEngine
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, LangId, Similarity, TextOps}
 import graft.spatial.SpatialOps
 
 /** The driver-verified query suite: one entry per operator family
@@ -159,6 +159,19 @@ object Queries {
     "text_langid" -> { (spark, sfDir) =>
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+        .orderBy("doc_id")
+    },
+    "text_quality" -> { (spark, sfDir) =>
+      // the remaining TextOps scoring surface: upper-case ratio, English
+      // stopword ratio, and the composite quality score — the DuckDB twin
+      // mirrors each sub-expression (same operand order, same rounding) so
+      // the IEEE doubles hash-match
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          round(TextOps.upperRatio(col("text")), 4).as("upper_ratio"),
+          round(TextOps.stopwordRatio(col("text"), LangId.profiles.head._2), 4)
+            .as("stop_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     },
 

@@ -1,7 +1,7 @@
 package graft.fixtures
 
 import scala.util.Random
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.model.{OsmDocRow, OsmElement}
 import graft.spatial.ZCell
 
@@ -176,18 +176,33 @@ object DeterministicGen {
     * predecessor, giving the dup-pair query a known non-trivial answer of
     * ~n/dupEvery pairs. Columnar generation on executors (content derived
     * from xxhash64 of a content-id; duplicates share the content-id), no
-    * driver loop — scales to any `n`. */
+    * driver loop — scales to any `n`.
+    *
+    * Vocabulary and fingerprint collisions (measured, WinnowSizeProbe):
+    * at 50k docs / 50k tokens mean fingerprint df is 1.09 with 678k true
+    * candidate pairs — realistic boilerplate-ish collision rates, the
+    * bench fixture. But collision df grows with CORPUS size at any fixed
+    * (or even Heaps-law-scaled) vocabulary, because grams span token
+    * boundaries: at 400k docs, df 1.45-1.51 and 35-62M true candidates
+    * (52× for 8× docs) — any dedup timing on such a corpus is superlinear
+    * for corpus reasons, not operator reasons. For constant work-per-doc
+    * (weak-scaling evidence), pass `vocab = Long.MaxValue`: tokens become
+    * full 64-bit hashes (no two docs share a gram except the seeded
+    * duplicates), isolating operator cost from corpus statistics. */
   def highVocabDocsDF(spark: SparkSession, n: Long, vocab: Long = 50000L,
                       dupEvery: Int = 50, dupOffset: Int = 17): DataFrame = {
     import org.apache.spark.sql.functions._
     require(dupOffset >= 1 && dupOffset < dupEvery)
     val contentId = when(pmod(col("id"), lit(dupEvery.toLong)) === dupOffset,
       col("id") - 1).otherwise(col("id"))
+    val token = (i: Column) =>
+      if (vocab == Long.MaxValue) lower(hex(xxhash64(col("cid"), i)))
+      else lower(hex(pmod(xxhash64(col("cid"), i), lit(vocab))))
     spark.range(0, n, 1, math.max(32, (n / 100000).toInt))
       .select(col("id").as("doc_id"), contentId.as("cid"))
       .select(col("doc_id"), concat_ws(" ", transform(
         sequence(lit(0), pmod(xxhash64(col("cid")), lit(90L)) + 29),
-        i => lower(hex(pmod(xxhash64(col("cid"), i), lit(vocab)))))).as("text"))
+        token)).as("text"))
   }
 
   // --- spatial fixtures (FIXTURES.md §3) -----------------------------------

@@ -139,9 +139,14 @@ object ScalingBench {
   private def runOps(spark: SparkSession, master: String, cores: Int,
                      hvN: Long): Unit = {
     import graft.ops.{Dedup, Similarity}
-    val hvPath = s"/root/repo/target/bench/hvdocs_dist_n$hvN"
+    // UNBOUNDED-vocabulary corpus (constant work per doc: candidates are
+    // the seeded duplicates only) so N-vs-4N and weak-scaling ratios
+    // measure the OPERATOR, not corpus collision statistics that grow with
+    // size (see highVocabDocsDF scaladoc); vocab-tagged path so a stale
+    // bounded-vocab cache is never silently reused
+    val hvPath = s"/root/repo/target/bench/hvdocs_dist_n${hvN}_vinf"
     if (!new java.io.File(hvPath + "/_SUCCESS").exists())
-      DeterministicGen.highVocabDocsDF(spark, hvN)
+      DeterministicGen.highVocabDocsDF(spark, hvN, vocab = Long.MaxValue)
         .repartition(math.max(64, (hvN / 25000).toInt))
         .write.mode("overwrite").parquet(hvPath)
     val embN = 3000000L
@@ -160,17 +165,27 @@ object ScalingBench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // build each op DataFrame once, warm (analysis+codegen+JIT), best-of-3
-    // — the protocol and rationale of the filter/spatial suites above
-    val ops: Seq[(String, org.apache.spark.sql.DataFrame, Long)] = Seq(
-      ("minhash_lsh", Dedup.minhashDupPairs(hv, col("text"), col("doc_id"),
+    // per op: build the DataFrame once, warm (analysis+codegen+JIT),
+    // best-of-3 on the SAME instance — the protocol of the suites above.
+    // The DataFrame is scoped to its op and a GC nudge follows: shuffle
+    // files live until the driver's ContextCleaner sees their dependency
+    // objects collected, and the accumulated warm+3 runs of every op
+    // otherwise pile up tens of GB of dead shuffle data at the 400k-doc
+    // size (measured: 11 GB per executor — enough to fill the disk and
+    // kill executors in a respawn loop).
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame, Long)] = Seq(
+      ("minhash_lsh", () => Dedup.minhashDupPairs(hv, col("text"), col("doc_id"),
         ngram = 3, numHashes = 16, bands = 4, threshold = 0.5), nHv),
-      ("winnowed", Dedup.winnowedDupPairs(hv, col("text"), col("doc_id"),
+      ("winnowed", () => Dedup.winnowedDupPairs(hv, col("text"), col("doc_id"),
         k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000), nHv),
-      ("brute_topk", Similarity.bruteTopK(emb, q, 10), nEmb))
-    val timed = ops.map { case (name, df, rows) =>
-      df.count() // warm
-      val t = Seq(time(df.count()), time(df.count()), time(df.count())).min
+      ("brute_topk", () => Similarity.bruteTopK(emb, q, 10), nEmb))
+    val timed = ops.map { case (name, mkDf, rows) =>
+      val t = {
+        val df = mkDf()
+        df.count() // warm
+        Seq(time(df.count()), time(df.count()), time(df.count())).min
+      }
+      System.gc() // df is out of scope: let ContextCleaner drop its shuffles
       System.err.println(f"OPS_PART $name $t%.2f s")
       (name, t, rows / t)
     }

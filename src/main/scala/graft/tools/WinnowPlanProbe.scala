@@ -2,9 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Prints the optimized plan of winnowedFingerprints to check whether the
-  * staged projections survive CollapseProject or get re-inlined (which
-  * turns the window pass O(n²) per row). */
+/** Prints the optimized plan of the HOF winnowing pipeline
+  * (winnowedFingerprintsHof — the diagnostic this probe was built for: the
+  * staged projections do NOT survive under Generate/join consumers, which
+  * turns the window pass O(n²) per row; production routes through the
+  * codegen'd WinnowFingerprints kernel instead). */
 object WinnowPlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.FilterEngine.session(master = "local[4]", appName = "winnow-probe")
@@ -12,7 +14,7 @@ object WinnowPlanProbe {
     val dir = java.nio.file.Files.createTempDirectory("winnow-probe").toString
     Seq((1L, "some text body here that is long enough to produce several grams"))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
-    val df = graft.ops.TextOps.winnowedFingerprints(
+    val df = graft.ops.TextOps.winnowedFingerprintsHof(
       spark.read.parquet(dir), col("text"), "fps")
     val plan = df.queryExecution.optimizedPlan.toString
     println("PROJECT_COUNT=" + "Project".r.findAllIn(plan).size)

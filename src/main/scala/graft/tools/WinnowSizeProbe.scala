@@ -12,7 +12,10 @@ object WinnowSizeProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.FilterEngine.session(master = "local[16]", appName = "winnow-size")
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1/documents.parquet"
-    val documents = (if (src.startsWith("hv:"))
+    val documents = (if (src.startsWith("hvinf:"))
+      graft.fixtures.DeterministicGen.highVocabDocsDF(spark, src.drop(6).toLong,
+        vocab = Long.MaxValue)
+    else if (src.startsWith("hv:"))
       graft.fixtures.DeterministicGen.highVocabDocsDF(spark, src.drop(3).toLong)
     else spark.read.parquet(src))
       .repartition(16).cache()

@@ -102,6 +102,28 @@ class OpsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("winnowed prefilter keeps qualifying pairs when shared fingerprints are partly HOT") {
+    // boilerplate BP appears in all 20 docs (hot once maxDocFreq < 20);
+    // docs 100/101 additionally share a long unique passage → their overlap
+    // is 1.0 from BOTH rare and hot fingerprints. The prefilter bound
+    // (shared_rare + min(n_hot)) must not drop them; docs sharing ONLY the
+    // boilerplate must stay non-candidates (no rare shared fingerprint).
+    val bp = "standard license header boilerplate that every file carries verbatim"
+    val uniq = "zephyr quixotic jumbled vortex phrases making a long unique shared passage"
+    val docs = ((0 until 18).map { i =>
+      val rng = new scala.util.Random(4000 + i)
+      val own = Seq.fill(12)(rng.alphanumeric.take(9).mkString).mkString(" ")
+      (i.toLong, s"$bp $own")
+    } ++
+      Seq((100L, s"$bp $uniq"), (101L, s"$bp $uniq"))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedDupPairs(docs, col("text"), col("doc_id"),
+      k = 8, w = 4, threshold = 0.9, maxDocFreq = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("overlap"))).toMap
+    assert(pairs.get((100L, 101L)).contains(1.0), s"hot+rare pair dropped: $pairs")
+    assert(pairs.keySet === Set((100L, 101L)),
+      "boilerplate-only overlaps must not pair (no rare shared fingerprint)")
+  }
+
   test("langId finds the stopword-dominant language") {
     val samples = Seq(
       ("the cat and the dog are in the house", "en"),
