@@ -23,11 +23,42 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** Median-of-3 with one discarded warm-up (BASELINE.md protocol). */
-  private def median3[A](f: => A): Double = {
+  /** Per-query (min, median, max) of 3 timed trials after one discarded
+    * warm-up (BASELINE.md protocol). The spread goes into the emitted JSON so
+    * a load-polluted run is visible IN the artifact: BENCH_r03 recorded 5-7×
+    * noise on two queries and nothing in the record could prove it wasn't a
+    * regression. */
+  private val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+  private def trials[A](f: => A): (Double, Double, Double) = {
     f // warm
     val ts = Seq(time(f), time(f), time(f)).sorted
-    ts(1)
+    (ts(0), ts(1), ts(2))
+  }
+  private def median3[A](name: String)(f: => A): Double = {
+    val (mn, md, mx) = trials(f)
+    spreads(name) = (mn, mx)
+    md
+  }
+
+  /** Fixed-work single-thread calibration probe (~0.3 s on an idle host):
+    * timed before and after the suite, both emitted. Interpretation rule
+    * (BASELINE.md): if either probe, or their ratio, drifts >~1.3× from the
+    * idle-host band, the run was contended — rerun before citing numbers. */
+  private def calibrate(): Double = {
+    var acc = 0x9e3779b97f4a7c15L
+    def spin(iters: Int): Long = {
+      var i = 0
+      while (i < iters) { // xorshift64* mix: pure ALU, no allocation
+        acc ^= acc << 13; acc ^= acc >>> 7; acc ^= acc << 17
+        acc *= 0x2545f4914f6cdd1dL
+        i += 1
+      }
+      acc
+    }
+    spin(20000000) // JIT warm
+    val t = time(spin(100000000))
+    if (acc == 42L) println(acc) // defeat dead-code elimination
+    t
   }
 
   val filterSuite: Seq[String] = Seq(
@@ -85,10 +116,12 @@ object Bench {
 
     // --- OFL filter suite over the materialized typed projection (headline:
     // the production layout for repeated queries) -----------------------------
+    val calibBefore = calibrate()
+
     var filterTotal = 0.0
     filterSuite.zipWithIndex.foreach { case (exprSrc, i) =>
       val pred = Compiler.compileEffective(Parser.parse(exprSrc))
-      val t = median3(typedView.filter(pred).count())
+      val t = median3(s"filter_$i")(typedView.filter(pred).count())
       results(s"filter_$i") = t
       filterTotal += t
     }
@@ -101,25 +134,31 @@ object Bench {
     // is the metric that predicts 100 TB behavior (compile cost is paid once
     // per query shape, not per byte).
     var spansTotal = 0.0
+    var spansLo = 0.0; var spansHi = 0.0
     filterSuite.foreach { exprSrc =>
       val pred = Compiler.compileEffective(Parser.parse(exprSrc))
-      spansTotal += median3(spansView.filter(pred).count())
+      val (mn, md, mx) = trials(spansView.filter(pred).count())
+      spansTotal += md; spansLo += mn; spansHi += mx
     }
     results("filter_suite_spans_decode") = spansTotal
+    spreads("filter_suite_spans_decode") = (spansLo, spansHi)
     val filterSpansEps = nDocs.toDouble * filterSuite.size / spansTotal
 
     // in-flight decode via the pruned codegen'd expression (the
     // FilterEngine.filter path): one spans pass per predicate field
     val fastView = graft.model.OsmView.derivePruned(docs)
     var fastTotal = 0.0
+    var fastLo = 0.0; var fastHi = 0.0
     filterSuite.foreach { exprSrc =>
       val pred = Compiler.compileEffective(Parser.parse(exprSrc))
-      fastTotal += median3(fastView.filter(pred).count())
+      val (mn, md, mx) = trials(fastView.filter(pred).count())
+      fastTotal += md; fastLo += mn; fastHi += mx
     }
     results("filter_suite_spans_fast") = fastTotal
+    spreads("filter_suite_spans_fast") = (fastLo, fastHi)
     val filterFastEps = nDocs.toDouble * filterSuite.size / fastTotal
 
-    results("complete_ways") = median3(
+    results("complete_ways") = median3("complete_ways")(
       FilterEngine.completeWays(docs, "highway == residential").count())
 
     // --- spatial ------------------------------------------------------------
@@ -131,7 +170,7 @@ object Bench {
       .map(p => (p.polygon_id, p.rings.map(_.map { case (la, lo) => (la, lo) })))
       .toDF("polygon_id", "rings")
       .withColumn("rings", col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
-    val tPip = median3(SpatialOps.polygonJoin(nodes, polys, level = 13).count())
+    val tPip = median3("spatial_pip_join")(SpatialOps.polygonJoin(nodes, polys, level = 13).count())
     results("spatial_pip_join") = tPip
 
     val queries = DeterministicGen.hotspots.zipWithIndex.flatMap { case ((la, lo), i) =>
@@ -140,15 +179,15 @@ object Bench {
     // level 14 (~2.4 km cells): hotspot clusters span many cells, so the
     // candidate set stays small; under-filled sparse queries hit the exact
     // fallback automatically
-    results("spatial_knn") = median3(
+    results("spatial_knn") = median3("spatial_knn")(
       SpatialOps.knn(nodes, queries, k = 10, level = 14, maxRing = 2).count())
 
     val tiles = DeterministicGen.rasterTiles(level = 12)
       .map(t => (t.cell, t.level)).toDF("cell", "tile_level")
-    results("spatial_tile_join") = median3(
+    results("spatial_tile_join") = median3("spatial_tile_join")(
       SpatialOps.tileJoin(nodes, tiles, pointLevel = 16, tileLevel = 12).count())
 
-    results("spatial_cell_density") = median3(
+    results("spatial_cell_density") = median3("spatial_cell_density")(
       SpatialOps.cellDensity(nodes, 12).count())
 
     val spatialRps = nNodes.toDouble * 2 / (tPip + results("spatial_tile_join"))
@@ -158,12 +197,12 @@ object Bench {
     val documents = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(cpus.toInt).cache()
     documents.count()
-    results("dedup_exact") = median3(
+    results("dedup_exact") = median3("dedup_exact")(
       Dedup.exactDedup(documents, col("text"), col("doc_id")).count())
-    results("dedup_minhash_lsh") = median3(
+    results("dedup_minhash_lsh") = median3("dedup_minhash_lsh")(
       Dedup.minhashDupPairs(documents, col("text"), col("doc_id"),
         ngram = 3, numHashes = 16, bands = 4, threshold = 0.5).count())
-    results("dedup_simhash") = median3(
+    results("dedup_simhash") = median3("dedup_simhash")(
       Dedup.simhashDupPairs(documents, col("text"), col("doc_id"),
         bands = 4, maxHamming = 6).count())
     // winnowed dedup runs on the high-vocabulary fixture, NOT the driver
@@ -173,14 +212,20 @@ object Bench {
     // O(n²) — measuring the corpus, not the operator. The hv corpus has
     // realistic df (≈1) and a seeded 2% exact-dup rate (~hvCount/50 pairs).
     val hvCount = math.max(20000L, (sf * 500000).toLong)
-    val hvPath = s"/root/repo/target/bench/hvdocs_n$hvCount"
+    // cache path carries every generator parameter (ScalingBench's _vinf
+    // lesson): a changed vocab/dup-rate default must never silently reuse a
+    // stale fixture
+    val (hvVocab, hvDupEvery, hvDupOffset) = (50000L, 50, 17)
+    val hvPath =
+      s"/root/repo/target/bench/hvdocs_n${hvCount}_v${hvVocab}_e${hvDupEvery}_o$hvDupOffset"
     if (!new java.io.File(hvPath + "/_SUCCESS").exists())
-      DeterministicGen.highVocabDocsDF(spark, hvCount)
+      DeterministicGen.highVocabDocsDF(spark, hvCount, vocab = hvVocab,
+        dupEvery = hvDupEvery, dupOffset = hvDupOffset)
         .repartition(cpus.toInt * 2)
         .write.mode("overwrite").parquet(hvPath)
     val hvDocs = spark.read.parquet(hvPath).cache()
     val nHv = hvDocs.count()
-    results("dedup_winnowed") = median3(
+    results("dedup_winnowed") = median3("dedup_winnowed")(
       Dedup.winnowedDupPairs(hvDocs, col("text"), col("doc_id"),
         k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000).count())
     val winnowDps = nHv.toDouble / results("dedup_winnowed")
@@ -191,10 +236,11 @@ object Bench {
       k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000)
       .select("key_a", "key_b").cache()
     hvPairs.count()
-    results("dedup_clusters") = median3(
+    results("dedup_clusters") = median3("dedup_clusters")(
       Dedup.dedupByClusters(hvDocs, col("doc_id"), Dedup.dupClusters(hvPairs)).count())
     hvPairs.unpersist()
-    results("text_analysis") = median3(
+    hvDocs.unpersist() // don't pin the 50k-doc corpus under the text/sim rows
+    results("text_analysis") = median3("text_analysis")(
       documents.select(
         graft.ops.TextOps.tokenCountWs(col("text")),
         graft.ops.TextOps.tokenCountBpe(col("text")),
@@ -205,20 +251,41 @@ object Bench {
     embeddings.count()
     val embQ = embeddings.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    results("sim_brute_topk") = median3(Similarity.bruteTopK(embeddings, embQ, 10).count())
-    results("sim_lsh_ann") = median3(
+    results("sim_brute_topk") = median3("sim_brute_topk")(Similarity.bruteTopK(embeddings, embQ, 10).count())
+    results("sim_lsh_ann") = median3("sim_lsh_ann")(
       Similarity.lshTopK(embeddings, embQ, 10, dim = 64, bits = 8, probes = 8).count())
     // includes coarse-quantizer training (2 Lloyd rounds) every run — the
     // operator's real cost, not just the probe-bucket scan
-    results("sim_ivf_ann") = median3(
+    results("sim_ivf_ann") = median3("sim_ivf_ann")(
       Similarity.ivfTopK(embeddings, embQ, 10, dim = 64,
         nCentroids = 16, nProbe = 4).count())
+
+    // --- ANN recall@10 at the PRODUCTION probe settings (the speed rows
+    // above). The gate queries prove the exactness parameterizations are
+    // exact; these rows measure what the approximate configs actually trade
+    // (BASELINE.md carries the bits/probes and nCentroids/nProbe sweeps
+    // from tools.RecallProbe). Values, not timings — kept out of `queries`.
+    val truth = Similarity.bruteTopK(embeddings, embQ, 10)
+      .select("query_id", "vec_id").cache()
+    val truthN = truth.count()
+    def recallOf(approx: DataFrame): Double =
+      approx.select("query_id", "vec_id")
+        .join(truth, Seq("query_id", "vec_id"), "left_semi").count().toDouble / truthN
+    val lshRecall = recallOf(
+      Similarity.lshTopK(embeddings, embQ, 10, dim = 64, bits = 8, probes = 8))
+    val ivfRecall = recallOf(
+      Similarity.ivfTopK(embeddings, embQ, 10, dim = 64, nCentroids = 16, nProbe = 4))
+    truth.unpersist()
+
+    val calibAfter = calibrate()
 
     // --- emit ------------------------------------------------------------------
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val spreadJson = spreads.map { case (k, (mn, mx)) =>
+      "\"" + k + f"""\":[$mn%.3f,$mx%.3f]""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spreadJson,"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,"sim_lsh_recall_at10":$lshRecall%.3f,"sim_ivf_recall_at10":$ivfRecall%.3f,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv}"""
     println(json)
     // belt-and-braces for the driver: a file copy free of any logger prefixing
     val out = java.nio.file.Paths.get("/root/repo/target/bench/bench.json")

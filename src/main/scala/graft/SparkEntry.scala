@@ -409,6 +409,21 @@ object SparkEntry {
         |SELECT query_id, vec_id FROM ranked WHERE rn <= 10
         |ORDER BY query_id, vec_id""".stripMargin,
 
+    // mediaTable emits one REAL PngSynth image per media span (k%8=0 →
+    // media://k%1000); decodeImages re-derives (width, height, format) from
+    // the PAYLOAD BYTES via real IHDR parsing, and this oracle recomputes
+    // them from the same ref-digit arithmetic the encoder used — a hash
+    // mismatch means the encoder and the decoder disagree about the bytes.
+    "multimodal_decode" ->
+      s"""SELECT doc_id, media_ref, width, height, format FROM (
+         |  SELECT concat(substr($typExpr, 1, 1), CAST($idExpr AS VARCHAR)) AS doc_id,
+         |         concat('media://', CAST(o_orderkey % 1000 AS VARCHAR)) AS media_ref,
+         |         CAST(16 + (o_orderkey % 1000 * 7) % 48 AS INT) AS width,
+         |         CAST(16 + (o_orderkey % 1000 * 13) % 48 AS INT) AS height,
+         |         'png' AS format
+         |  FROM orders WHERE o_orderkey % 8 = 0) m
+         |ORDER BY doc_id, media_ref""".stripMargin,
+
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
         |scored AS (

@@ -198,7 +198,13 @@ object Dedup {
     * changed. Each round is a pair of hash-shuffles on the key — no
     * cartesian, no driver-side adjacency. `localCheckpoint` between rounds
     * truncates the growing plan lineage (the SpatialOps ladder pattern);
-    * AQE handles skewed hub keys. */
+    * AQE handles skewed hub keys.
+    *
+    * Driver coordination is ONE action per round: the previous round's label
+    * rides through the propagation aggregate (max over a column that is null
+    * on the edge-offer branches), and change detection is an `observe()`
+    * metric collected by the round's eager localCheckpoint job — no separate
+    * join + count pass. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
       .distinct().localCheckpoint(true)
@@ -209,22 +215,27 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       val la = edges.join(labels, edges("a") === labels("key"))
-        .select(col("b").as("key"), col("cluster"))
+        .select(col("b").as("key"), col("cluster"), lit(null).cast("long").as("old"))
       val lb = edges.join(labels, edges("b") === labels("key"))
-        .select(col("a").as("key"), col("cluster"))
-      val prop = labels.unionByName(la).unionByName(lb)
-        .groupBy("key").agg(min("cluster").as("cluster"))
+        .select(col("a").as("key"), col("cluster"), lit(null).cast("long").as("old"))
+      // every key occurs exactly once in `labels`, so max("old") recovers
+      // that round's label (the single non-null) per key
+      val prop = labels.select(col("key"), col("cluster"), col("cluster").as("old"))
+        .unionByName(la).unionByName(lb)
+        .groupBy("key").agg(min("cluster").as("cluster"), max("old").as("old"))
       // pointer jumping: a label is itself a vertex key, so one extra hop
       // through the label table halves the remaining chain length
       val hop = prop.select(col("key").as("ck"), col("cluster").as("cc"))
+      val obs = org.apache.spark.sql.Observation(s"dupClusters_round_$i")
       val compressed = prop.join(hop, prop("cluster") === hop("ck"), "left")
-        .select(prop("key"), coalesce(col("cc"), prop("cluster")).as("cluster"))
-        .localCheckpoint(true)
-      val changed = compressed.alias("n")
-        .join(labels.select(col("key"), col("cluster").as("old")), Seq("key"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
+        .select(prop("key"),
+          coalesce(col("cc"), prop("cluster")).as("cluster"), col("old"))
+        .observe(obs, sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L))
+          .as("changed"))
+        .drop("old")
+        .localCheckpoint(true) // the round's one action; collects `changed`
       labels = compressed
-      converged = changed == 0L
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -76,6 +76,70 @@ object Multimodal {
         .orElse(jpegDims(b).map { case (w, h) => (w, h, "jpeg") })
   }
 
+  /** Minimal deterministic PNG ENCODER, pure JVM (no codec libraries):
+    * grayscale 8-bit, stored-deflate IDAT (zlib header + BTYPE=00 blocks +
+    * Adler-32), CRC-32 per chunk — a byte-valid PNG any decoder (including
+    * [[HeaderCodecs.pngDims]]) reads back. Used by [[mediaTable]] so fixture
+    * payloads are REAL images and the decode gate is oracle-checkable; the
+    * encoder itself is also the honest stand-in for a production "fetch blob"
+    * stage, whose output shape (a few-KB binary column) it matches. */
+  object PngSynth {
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+    private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val tb = tag.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** Raw scanlines (filter byte 0 + width pixels) wrapped in a zlib stream
+      * of stored (uncompressed) deflate blocks — deterministic by
+      * construction, no Deflater heuristics involved. */
+    private def zlibStored(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 65535 * 5 + 16)
+      out.write(0x78); out.write(0x01) // CMF/FLG: deflate, 32K window, check ok
+      var off = 0
+      while (off < raw.length || raw.length == 0 && off == 0) {
+        val len = math.min(65535, raw.length - off)
+        val last = off + len >= raw.length
+        out.write(if (last) 1 else 0) // BFINAL | BTYPE=00 (stored)
+        out.write(len & 0xff); out.write(len >>> 8)
+        out.write(~len & 0xff); out.write((~len >>> 8) & 0xff)
+        out.write(raw, off, len)
+        off += len
+        if (last) off = raw.length + 1
+      }
+      val adler = new java.util.zip.Adler32
+      adler.update(raw)
+      out.write(be32(adler.getValue.toInt))
+      out.toByteArray
+    }
+
+    /** A complete grayscale PNG of `width`×`height`; pixel (x, y) is a
+      * deterministic gradient of (x, y, seed). */
+    def png(width: Int, height: Int, seed: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val raw = new Array[Byte](height * (1 + width))
+      var y = 0
+      while (y < height) {
+        val rowOff = y * (1 + width) // raw(rowOff) stays 0: filter type None
+        var x = 0
+        while (x < width) {
+          raw(rowOff + 1 + x) = ((x * 31 + y * 17 + seed) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = be32(width) ++ be32(height) ++
+        Array[Byte](8 /*depth*/ , 0 /*grayscale*/ , 0, 0, 0)
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlibStored(raw)) ++
+        chunk("IEND", Array.empty)
+    }
+  }
+
   /** STUB codec boundary: deterministic fakes derived from the payload
     * bytes. Replace with real imageio/ffmpeg calls in production. */
   object StubCodecs {
@@ -95,13 +159,25 @@ object Multimodal {
   }
 
   /** Materializes a media table from the docs view: one row per interleaved
-    * media span, with a deterministic synthetic payload derived from the
-    * media_ref (the fixture stand-in for fetching the blob). */
-  def mediaTable(view: DataFrame): DataFrame =
+    * media span, with a deterministic REAL PNG payload ([[PngSynth]]) whose
+    * dimensions derive from the media_ref's trailing digits by
+    * SQL-recomputable arithmetic:
+    *   mid    = last ≤6 decimal digits of the ref (0 if none)
+    *   width  = 16 + (mid·7) mod 48,  height = 16 + (mid·13) mod 48
+    * so a DuckDB oracle can recompute (width, height, format) that
+    * [[decodeImages]] re-derives from the BYTES via real header parsing —
+    * the dims are dropped before the payload column exists precisely so the
+    * decode path cannot cheat. The payload UDF is the fixture stand-in for
+    * fetching the blob from object storage (executor-side, a few KB/row,
+    * never collected). */
+  def mediaTable(view: DataFrame): DataFrame = {
+    val midStr = regexp_extract(col("media_ref"), "([0-9]{1,6})$", 1)
+    val mid = when(midStr === "", lit(0)).otherwise(midStr.cast("int"))
+    val pngUdf = udf { (w: Int, h: Int, seed: Int) => PngSynth.png(w, h, seed) }
     view.select(col("doc_id"), explode(col("media_refs")).as("media_ref"))
-      .withColumn("bytes",
-        // deterministic pseudo-payload: sha2 of the ref, repeated
-        to_binary(concat(Seq.fill(4)(sha2(col("media_ref"), 256)): _*), lit("hex")))
+      .withColumn("bytes", pngUdf(
+        lit(16) + pmod(mid * 7, lit(48)), lit(16) + pmod(mid * 13, lit(48)), mid))
+  }
 
   /** Batch image decode + feature extraction: partition-wise typed
     * mapPartitions (no per-row task overhead, no driver collect). The
@@ -109,10 +185,10 @@ object Multimodal {
     * upstream if they need co-location with the docs table.
     *
     * Dimensions and format come from REAL header parsing
-    * ([[HeaderCodecs]]) when the payload is a PNG or JPEG; other payloads
-    * (including the fixture's synthetic sha2 blobs, which is why the
-    * `multimodal_decode` gate stays rows-only) fall back to the
-    * deterministic stub. */
+    * ([[HeaderCodecs]]) when the payload is a PNG or JPEG — including every
+    * [[mediaTable]] payload, which is a valid [[PngSynth]] image, so the
+    * `multimodal_decode` gate is a full rows+schema+hash oracle check;
+    * non-image payloads fall back to the deterministic stub. */
   def decodeImages(media: DataFrame, featureDim: Int = 16): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -255,7 +255,29 @@ object SpatialOps {
           tieBreak: String = "doc_id", widenSteps: Int = 2): DataFrame = {
     val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
     val dist = metric.dist(col("qlat"), col("qlon"), col("lat"), col("lon"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col(tieBreak))
+
+    // Exact top-k per query in two phases (the Similarity.topKPerQuery
+    // shape): a salted local rank bounds every sort to its salt group, then
+    // the global rank orders ≤ salts·k survivors per query. EXACT: a row in
+    // the true global top-k has < k rows above it in its own salt group, so
+    // it survives phase 1; both phases share the (dist_m, tieBreak) order.
+    // The single-window form — partitionBy(query_id) alone — fully sorts
+    // each query's candidate set in ONE task, which is harmless on
+    // ring-bounded candidates but is exactly the parallelism cap that cost
+    // brute top-k 0.36 efficiency at scale; the brute fallback below scans
+    // the whole corpus per query, where it matters most.
+    val salts = 64
+    def rankTopK(scored: DataFrame): DataFrame = {
+      val wLocal = Window
+        .partitionBy(col("query_id"), pmod(hash(col(tieBreak)), lit(salts)))
+        .orderBy(col("dist_m"), col(tieBreak))
+      val wGlobal = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist_m"), col(tieBreak))
+      scored.withColumn("rn", row_number().over(wLocal))
+        .filter(col("rn") <= k).drop("rn")
+        .withColumn("rn", row_number().over(wGlobal))
+        .filter(col("rn") <= k).drop("rn")
+    }
 
     /** One ring pass: (certified top-k, uncertified queries). */
     def attempt(qs: DataFrame, ring: Int): (DataFrame, DataFrame) = {
@@ -263,8 +285,7 @@ object SpatialOps {
         explode(ringCellsUdf(level, ring)(col("qlat"), col("qlon"))))
       val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
         .withColumn("dist_m", dist)
-      val topk = candidates.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
+      val topk = rankTopK(candidates)
 
       // per-query decision: lower-bound distance to each uncovered-side edge
       val edges = coverEdgesUdf(level, ring)(col("qlat"), col("qlon"))
@@ -304,10 +325,8 @@ object SpatialOps {
       }
     }
     if (!allSatisfied) {
-      val brute = points.crossJoin(broadcast(remaining))
-        .withColumn("dist_m", dist)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
+      val brute = rankTopK(points.crossJoin(broadcast(remaining))
+        .withColumn("dist_m", dist))
       pieces += brute
     }
     pieces.result().reduce(_ unionByName _)

@@ -24,8 +24,10 @@ import graft.ops.Dedup
   *
   * Guarantees: two near-duplicates arriving within `delayMs` of each other
   * (event time) are compared in every band they share — same candidacy as
-  * batch LSH over that window. Members farther apart are best-effort (state
-  * may retain them until the watermark actually advances). A pair sharing
+  * batch LSH over that window. Members farther apart NEVER pair: the pair
+  * loop checks |Δevent-time| ≤ delayMs explicitly, so the emitted set is a
+  * deterministic function of event times alone (state pruning remains
+  * watermark-driven and only affects memory, not output). A pair sharing
   * several bands is emitted once per shared band; downstream cluster
   * resolution ([[graft.ops.Dedup.dupClusters]]) is insensitive to
   * duplicates, or use `.dropDuplicates("key_a","key_b")` in the sink.
@@ -83,8 +85,11 @@ object StreamingNearDup {
             val out = Vector.newBuilder[NearDupPair]
             var seen = old
             incoming.foreach { d =>
-              seen.foreach { case (k, sig, _) =>
-                if (k != d.key) {
+              seen.foreach { case (k, sig, mts) =>
+                // the explicit event-time bound makes output independent of
+                // batch timing: a member the lagging watermark hasn't pruned
+                // yet still can't pair beyond delayMs
+                if (k != d.key && math.abs(d.tsMs - mts) <= delayMs) {
                   val est = estimate(sig, d.sig)
                   if (est >= threshold)
                     out += NearDupPair(math.min(k, d.key), math.max(k, d.key),

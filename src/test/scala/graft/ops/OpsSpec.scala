@@ -432,6 +432,22 @@ class OpsSpec extends AnyFunSuite {
       decoded("media://blob").format) === stub)
   }
 
+  test("PngSynth emits byte-valid PNGs: JDK ImageIO decodes dims and pixels") {
+    for ((w, h, seed) <- Seq((1, 1, 0), (16, 63, 123), (63, 16, 999), (40, 40, 255))) {
+      val bytes = Multimodal.PngSynth.png(w, h, seed)
+      // independent decoder: the JDK's own PNG reader, not our header parser
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected ${w}x$h")
+      assert(img.getWidth === w && img.getHeight === h)
+      val gray = img.getRaster
+      for (x <- 0 until w; y <- 0 until h)
+        assert(gray.getSample(x, y, 0) === ((x * 31 + y * 17 + seed) & 0xff),
+          s"pixel ($x,$y) seed=$seed")
+      // and our own zero-dependency header parser agrees
+      assert(Multimodal.HeaderCodecs.imageDims(bytes) === Some((w, h, "png")))
+    }
+  }
+
   test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {
     val docs = graft.fixtures.DeterministicGen.docsDF(spark, 0.001)
     val view = graft.model.OsmView.derive(docs)
@@ -443,7 +459,14 @@ class OpsSpec extends AnyFunSuite {
     val d2 = Multimodal.decodeImages(media, featureDim = 8)
       .collect().sortBy(m => (m.doc_id, m.media_ref))
     assert(d1.map(_.feature.toSeq) === d2.map(_.feature.toSeq), "deterministic decode")
-    assert(d1.forall(m => m.width >= 64 && m.height >= 64 && m.feature.length === 8))
+    // mediaTable payloads are real PngSynth images: dims come from the REAL
+    // header parse and must equal the ref-digit arithmetic the table used
+    assert(d1.forall(m => m.format == "png" && m.feature.length === 8))
+    d1.foreach { m =>
+      val mid = "([0-9]{1,6})$".r.findFirstIn(m.media_ref).map(_.toInt).getOrElse(0)
+      assert(m.width === 16 + mid * 7 % 48 && m.height === 16 + mid * 13 % 48,
+        s"${m.media_ref}: got ${m.width}x${m.height}")
+    }
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.nonEmpty)
     assert(frames.groupBy(f => (f.doc_id, f.media_ref, f.frame_idx)).forall(_._2.length == 1))
