@@ -324,6 +324,21 @@ object SparkEntry {
         |FROM t a, t b WHERE a.doc_id < b.doc_id AND a.nt = b.nt
         |ORDER BY key_a, key_b""".stripMargin,
 
+    "dedup_winnowed_partial" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text || ' ' || text FROM documents WHERE doc_id < 40),
+        |t AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+        |  FROM u)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |FROM t a, t b
+        |WHERE a.doc_id < b.doc_id
+        |  AND ((length(a.nt) >= 11 AND b.nt = a.nt || ' ' || a.nt)
+        |    OR (length(b.nt) >= 11 AND a.nt = b.nt || ' ' || b.nt))
+        |ORDER BY key_a, key_b""".stripMargin,
+
     "dedup_clusters" ->
       """WITH e AS (
         |  SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d

@@ -36,6 +36,16 @@ object Compiler {
     * reference's `prepare()`-time file load (hpp:1549-1559). */
   type IdListLoader = String => Set[Long]
 
+  /** Compile-time environment: the id-list loader plus the HOT-TAG column
+    * map (OFL tag key → top-level view column holding that key's first
+    * value, null when absent — see [[graft.engine.HotTags]]). When a key is
+    * hot, tag checks compile to plain column predicates
+    * (`IsNotNull(t_k) && t_k == v`) that Catalyst pushes into the parquet
+    * scan, so row groups where the key never appears are skipped on min/max
+    * /null-count statistics — the 100 TB reason the projection exists. The
+    * array path can never push (the value hides inside `tags`). */
+  private final case class Env(ld: IdListLoader, hot: Map[String, String])
+
   val noFiles: IdListLoader =
     f => throw new OflTypeException(s"no id-list loader provided for file '$f'")
 
@@ -54,8 +64,9 @@ object Compiler {
     }.toSet
   }
 
-  def compile(e: Expr, idLoader: IdListLoader = noFiles): Column =
-    bool(e, ObjCtx, idLoader)
+  def compile(e: Expr, idLoader: IdListLoader = noFiles,
+              hotKeys: Map[String, String] = Map.empty): Column =
+    bool(e, ObjCtx, Env(idLoader, hotKeys))
 
   /** The reference's OBSERVABLE filter semantics: the entity mask is not a
     * mere optimization — the reader is constructed with it (main.cpp:182), so
@@ -64,13 +75,15 @@ object Compiler {
     * a tagged node, but the mask is way-only), so output equivalence requires
     * the conjunct. Catalyst folds it into partition pruning on the
     * type-partitioned table. */
-  def compileEffective(e: Expr, idLoader: IdListLoader = noFiles): Column = {
+  def compileEffective(e: Expr, idLoader: IdListLoader = noFiles,
+                       hotKeys: Map[String, String] = Map.empty): Column = {
     val mask = EntityBits.entities(e)
     if (mask == EntityBits.Nothing)
       fail("Filter expression can never match") // main.cpp:114-117
+    val env = Env(idLoader, hotKeys)
     pruningPredicate(e) match {
-      case Some(p) => p && bool(e, ObjCtx, idLoader)
-      case None    => bool(e, ObjCtx, idLoader)
+      case Some(p) => p && bool(e, ObjCtx, env)
+      case None    => bool(e, ObjCtx, env)
     }
   }
 
@@ -106,7 +119,7 @@ object Compiler {
 
   /** bool context: int decays via `> 0` (hpp:365-385, NOT != 0); string via
     * non-null and non-empty (hpp:387-427). */
-  private def bool(e: Expr, ctx: Ctx, ld: IdListLoader): Column = kindOf(e) match {
+  private def bool(e: Expr, ctx: Ctx, ld: Env): Column = kindOf(e) match {
     case BoolKind => boolNative(e, ctx, ld)
     case IntKind  => intNative(e, ctx, ld) > 0
     case StrKind  => coalesce(length(str(e, ctx)) > 0, lit(false))
@@ -114,7 +127,7 @@ object Compiler {
 
   /** int context: bool coerces true→1/false→0 (hpp:343-362); string via C
     * atoll — leading-digits parse, `"12ab"→12`, `"ab"→0` (hpp:396-398). */
-  private def int(e: Expr, ctx: Ctx, ld: IdListLoader): Column = kindOf(e) match {
+  private def int(e: Expr, ctx: Ctx, ld: Env): Column = kindOf(e) match {
     case IntKind  => intNative(e, ctx, ld)
     case BoolKind => when(boolNative(e, ctx, ld), lit(1L)).otherwise(lit(0L))
     case StrKind  => atoll(str(e, ctx))
@@ -145,7 +158,7 @@ object Compiler {
 
   // --- native evaluators ------------------------------------------------------
 
-  private def boolNative(e: Expr, ctx: Ctx, ld: IdListLoader): Column = e match {
+  private def boolNative(e: Expr, ctx: Ctx, ld: Env): Column = e match {
     case BoolLit(v) => lit(v)
     case And(cs)    => cs.map(bool(_, ctx, ld)).reduce(_ && _)
     case Or(cs)     => cs.map(bool(_, ctx, ld)).reduce(_ || _)
@@ -192,26 +205,33 @@ object Compiler {
     // time (documented fail-earlier deviation).
     case HasKey(k) =>
       requireObj(ctx, s"has-key [$k]")
-      exists(col("tags"), t => t.getField("key") === k)
+      ld.hot.get(k) match {
+        case Some(c) => col(c).isNotNull // pushable null-count prune
+        case None    => exists(col("tags"), t => t.getField("key") === k)
+      }
 
-    // missing key ⇒ false for BOTH == and != (hpp:1390-1397)
+    // missing key ⇒ false for BOTH == and != (hpp:1390-1397). The
+    // IsNotNull-conjunct form is semantically identical to
+    // coalesce(…, false) (tag values are never null strings, only the
+    // whole lookup can be null) and, on a hot column, is exactly the
+    // shape DataSourceStrategy translates to parquet pushdown.
     case CheckTagStr(k, op, v) =>
       requireObj(ctx, s"tag check [$k]")
-      val tv = tagValue(k)
+      val tv = tagValue(k, ld)
       op match {
-        case StrOp.Eq => coalesce(tv === v, lit(false))
-        case StrOp.Ne => coalesce(tv =!= v, lit(false))
+        case StrOp.Eq => tv.isNotNull && tv === v
+        case StrOp.Ne => tv.isNotNull && tv =!= v
         case other    => fail(s"CheckTagStr with ${other.name}")
       }
 
     // missing key ⇒ false for both =~ and !~ (hpp:1457-1464)
     case CheckTagRegex(k, op, pat, ci) =>
       requireObj(ctx, s"tag regex check [$k]")
-      val tv = tagValue(k)
+      val tv = tagValue(k, ld)
       val p = if (ci) "(?i)" + pat else pat
       op match {
-        case StrOp.Match    => coalesce(tv.rlike(p), lit(false))
-        case StrOp.NotMatch => coalesce(!tv.rlike(p), lit(false))
+        case StrOp.Match    => tv.isNotNull && tv.rlike(p)
+        case StrOp.NotMatch => tv.isNotNull && !tv.rlike(p)
         case other          => fail(s"CheckTagRegex with ${other.name}")
       }
 
@@ -219,7 +239,7 @@ object Compiler {
       requireObj(ctx, "in-list")
       val a = int(attr, ctx, ld)
       val vs: Seq[Long] = fromFile match {
-        case Some(f) => ld(f).toSeq.sorted
+        case Some(f) => ld.ld(f).toSeq.sorted
         case None    => values
       }
       // membership on the raw 64-bit pattern (uint64 wrap, hpp:1522/1564);
@@ -241,12 +261,18 @@ object Compiler {
 
   /** First value for key k — get_value_by_key returns the FIRST matching tag
     * (hpp:1391); null when absent. (A map lookup would need a dedup policy;
-    * the filter+get form keeps first-match semantics and stays null-safe.) */
-  private def tagValue(k: String): Column =
-    get(filter(col("tags"), t => t.getField("key") === k), lit(0))
-      .getField("value")
+    * the filter+get form keeps first-match semantics and stays null-safe.)
+    * A HOT key reads its materialized top-level column instead — same value
+    * by construction ([[graft.engine.HotTags.projection]] materializes this
+    * very expression), but statically resolvable and pushdown-eligible. */
+  private def tagValue(k: String, env: Env): Column = env.hot.get(k) match {
+    case Some(c) => col(c)
+    case None =>
+      get(filter(col("tags"), t => t.getField("key") === k), lit(0))
+        .getField("value")
+  }
 
-  private def intNative(e: Expr, ctx: Ctx, ld: IdListLoader): Column = e match {
+  private def intNative(e: Expr, ctx: Ctx, ld: Env): Column = e match {
     case IntLit(v) => lit(v)
     case IntAttrExpr(a) => (a, ctx) match {
       case (IntAttr.Id, ObjCtx)        => col("id")

@@ -221,6 +221,37 @@ object Queries {
         .filter(col("nt_a") === col("nt_b"))
         .select(col("key_a"), col("key_b")).orderBy("key_a", "key_b")
     },
+    "dedup_winnowed_partial" -> { (spark, sfDir) =>
+      // the sub-1.0 threshold + FINITE maxDocFreq path (prefilter branch
+      // with a real doc-frequency table — dedup_winnowed runs threshold=1.0
+      // with the cut disabled). Seeded docs are the base text DOUBLED
+      // (t + ' ' + t): every full k-gram window of the base occurs at the
+      // same offset in the double, so FP(base) ⊆ FP(double) whenever the
+      // normalized base has ≥ w full windows (length ≥ k+w−1 = 11), making
+      // overlap = |FP(base)|/min = 1.0 ≥ 0.8 GUARANTEED — candidacy too
+      // (all shared fingerprints have df ≤ 340 docs < maxDocFreq=1000, and
+      // the prefilter bound shared_rare ≥ 0.8·min holds with equality
+      // margin). Restricting the emitted pairs to the SQL-recomputable
+      // doubling relation makes output == oracle exactly; a prefilter or
+      // recall bug shows as a missing row.
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val seeded = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val u = docs.unionByName(seeded)
+      val pairs = Dedup.winnowedDupPairs(u, col("text"), col("doc_id"),
+        k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000)
+      val norm = u.select(col("doc_id"), TextOps.normalizedText(col("text")).as("nt"))
+      pairs
+        .join(norm.select(col("doc_id").as("key_a"), col("nt").as("nt_a")), "key_a")
+        .join(norm.select(col("doc_id").as("key_b"), col("nt").as("nt_b")), "key_b")
+        .filter((length(col("nt_a")) >= 11 &&
+            col("nt_b") === concat(col("nt_a"), lit(" "), col("nt_a"))) ||
+          (length(col("nt_b")) >= 11 &&
+            col("nt_a") === concat(col("nt_b"), lit(" "), col("nt_b"))))
+        .select(col("key_a"), col("key_b")).orderBy("key_a", "key_b")
+    },
     "dedup_clusters" -> { (spark, sfDir) =>
       // connected components over a deterministic, SQL-recomputable edge
       // list: (doc_id, doc_id+1) whenever doc_id % 23 < 16 and both ends

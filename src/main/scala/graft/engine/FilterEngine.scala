@@ -6,6 +6,35 @@ import graft.compile.Compiler
 import graft.model.OsmView
 import graft.ofl.{EntityBits, Expr, OflTypeException, Parser, Pretty}
 
+/** Hot tag keys materialized as top-level view columns (`t_<key>`, first
+  * matching value, null when the key is absent) so equality/regex/has-key
+  * filters on them reach the parquet scan as pushed predicates. The `tags`
+  * array cannot benefit from row-group statistics — a `highway == x` filter
+  * over 100 TB otherwise decodes every tags array; with the projection,
+  * min/max + null-count stats skip row groups where the key never occurs.
+  * The list is the fixture's (and OSM's) hottest keys; production would
+  * derive it from key-frequency stats at view build time. */
+object HotTags {
+  val keys: Seq[String] = Seq("highway", "building", "landuse", "amenity",
+    "natural", "oneway", "name", "type", "addr:street", "addr:housenumber")
+
+  def colName(key: String): String = "t_" + key.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The materialization expression — EXACTLY the compiler's cold-path
+    * `tagValue` (first match, null when absent), so hot and cold reads are
+    * equal by construction. */
+  def projection(key: String): Column =
+    get(filter(col("tags"), t => t.getField("key") === key), lit(0))
+      .getField("value")
+
+  /** key → column map restricted to what `schema` actually materialized —
+    * views written before the projection existed compile cold-path. */
+  def forSchema(schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    val present = schema.fieldNames.toSet
+    keys.iterator.map(k => k -> colName(k)).filter(kv => present(kv._2)).toMap
+  }
+}
+
 /** The query lifecycle (SURVEY.md §3): parse → analyze (entity bits +
   * never-match abort) → compile → Catalyst. The reference's single-threaded
   * scan loop (main.cpp:182-199) becomes a declarative
@@ -104,10 +133,16 @@ object FilterEngine {
     * scale you pay it ONCE here, and every subsequent filter reads plain
     * typed columns with vectorized scans, predicate pushdown, and partition
     * pruning. This is the Iceberg-style "derived projection" layout the
-    * engine assumes for repeated querying of a 100 TB docs table. */
-  def materializeView(docs: DataFrame, path: String): Unit =
-    OsmView.deriveFast(docs) // single-pass decode: 1.8× the HOF derivation here
+    * engine assumes for repeated querying of a 100 TB docs table.
+    * [[HotTags]] keys are additionally projected as pushdown-eligible
+    * top-level columns. */
+  def materializeView(docs: DataFrame, path: String): Unit = {
+    val base = OsmView.deriveFast(docs) // single-pass decode: 1.8× the HOF derivation
+    HotTags.keys
+      .foldLeft(base)((df, k) =>
+        df.withColumn(HotTags.colName(k), HotTags.projection(k)))
       .write.mode("overwrite").partitionBy("type").parquet(path)
+  }
 
   /** Scale path for huge id-list files: `ATTR in (<'file')` compiled as an
     * InSet probe replicates the whole set into every task (exactly like the
@@ -171,13 +206,16 @@ object FilterEngine {
   }
 
   /** Filter over a materialized typed view (see [[materializeView]]):
-    * same compiled predicate, no span decode on the hot path. */
+    * same compiled predicate, no span decode on the hot path. Tag checks on
+    * [[HotTags]] keys the view materialized compile to their top-level
+    * columns — pushed into the parquet scan. */
   def filterView(view: DataFrame, expression: String,
                  idLoader: Compiler.IdListLoader = Compiler.noFiles): DataFrame = {
     val q = parse(expression)
     if (q.neverMatches)
       throw new OflTypeException("Filter expression can never match")
-    view.filter(Compiler.compileEffective(q.ast, idLoader))
+    view.filter(Compiler.compileEffective(q.ast, idLoader,
+      HotTags.forSchema(view.schema)))
   }
 
   /** Engine session defaults — 32 shuffle partitions for local[32], AQE for

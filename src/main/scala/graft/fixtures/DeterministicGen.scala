@@ -167,6 +167,28 @@ object DeterministicGen {
             .cast("float")).as("embedding"))
   }
 
+  /** Deterministic distributed point corpus for spatial scaling runs:
+    * `n` rows (doc_id, lat, lon), 70% clustered around the [[hotspots]]
+    * (the urban-skew shape the kNN/PIP operators must survive), 30%
+    * world-uniform — all pure Column arithmetic on executors, no driver
+    * loop. */
+  def pointsDF(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = col("id")
+    def unit(seed: Int): Column = // deterministic uniform [-1, 1]
+      (pmod(xxhash64(id, lit(seed)), lit(2000001L)) - 1000000L) / 1000000.0
+    val hi = pmod(xxhash64(id, lit(0)), lit(3L)).cast("int")
+    val hlat = when(hi === 0, hotspots(0)._1).when(hi === 1, hotspots(1)._1)
+      .otherwise(hotspots(2)._1)
+    val hlon = when(hi === 0, hotspots(0)._2).when(hi === 1, hotspots(1)._2)
+      .otherwise(hotspots(2)._2)
+    val clustered = pmod(xxhash64(id, lit(9)), lit(10L)) < 7
+    spark.range(0, n, 1, math.max(32, (n / 250000).toInt))
+      .select(id.as("doc_id"),
+        when(clustered, hlat + unit(1) * 0.03).otherwise(unit(3) * 85.0).as("lat"),
+        when(clustered, hlon + unit(2) * 0.045).otherwise(unit(4) * 180.0).as("lon"))
+  }
+
   /** High-vocabulary synthetic document corpus for the winnowed-dedup bench:
     * `n` docs of 30-119 tokens drawn uniformly from a `vocab`-token
     * vocabulary (tokens are hex-encoded hashes — no phrase templates), so

@@ -189,8 +189,48 @@ object ScalingBench {
       System.err.println(f"OPS_PART $name $t%.2f s")
       (name, t, rows / t)
     }
-    val fields = timed.map { case (name, t, rps) =>
+
+    // --- driver-coordinated ops: construction itself runs jobs (Lloyd
+    // training collects, dupClusters rounds checkpoint, kNN's widening
+    // ladder probes), so each trial re-runs the WHOLE operator — warm once
+    // for codegen/JIT, then best-of-2 full executions. These are the op
+    // family whose N-vs-4N behavior a fixed-shuffle measurement can't
+    // stand in for: per-round driver synchronization is a serial cost that
+    // does not shrink with executors.
+    import graft.spatial.SpatialOps
+    // ~14M chain edges in 17-vertex components (diameter 16): real
+    // multi-round closure, decoupled from the hv corpus size
+    val edgeN = 20000000L
+    val edges = spark.range(0, edgeN, 1, math.max(64, cores * 4))
+      .filter(col("id") % 23 < 16)
+      .select(col("id").as("key_a"), (col("id") + 1).as("key_b"))
+    val ptsN = 12000000L
+    val ptsPath = s"/root/repo/target/bench/pts_dist_n$ptsN"
+    if (!new java.io.File(ptsPath + "/_SUCCESS").exists())
+      DeterministicGen.pointsDF(spark, ptsN)
+        .write.mode("overwrite").parquet(ptsPath)
+    val points = spark.read.parquet(ptsPath)
+    import spark.implicits._
+    val knnQueries = DeterministicGen.hotspots.zipWithIndex.flatMap {
+      case ((la, lo), i) =>
+        (0 until 33).map(j => ((i * 33 + j).toLong, la + j * 0.003, lo + j * 0.002))
+    }.toDF("query_id", "lat", "lon")
+    val fullOps: Seq[(String, () => Long, Long)] = Seq(
+      ("ivf_topk", () => Similarity.ivfTopK(emb, q, 10, dim = 64,
+        nCentroids = 16, nProbe = 4).count(), nEmb),
+      ("dup_clusters", () => Dedup.dupClusters(edges).count(), edgeN),
+      ("knn", () => SpatialOps.knn(points, knnQueries, k = 10,
+        level = 14, maxRing = 2).count(), ptsN))
+    val timedFull = fullOps.map { case (name, run, rows) =>
+      run() // warm
+      val t = Seq(time(run()), time(run())).min
+      System.gc()
+      System.err.println(f"OPS_PART $name $t%.2f s")
+      (name, t, rows / t)
+    }
+
+    val fields = (timed ++ timedFull).map { case (name, t, rps) =>
       f""""${name}_sec":$t%.2f,"${name}_rows_per_sec":$rps%.0f""" }.mkString(",")
-    println(f"""{"scaling_probe":true,"mode":"ops","master":"$master","cores":$cores,"hv_docs":$nHv,"emb_rows":$nEmb,$fields}""")
+    println(f"""{"scaling_probe":true,"mode":"ops","master":"$master","cores":$cores,"hv_docs":$nHv,"emb_rows":$nEmb,"edge_rows":$edgeN,"pts_rows":$ptsN,$fields}""")
   }
 }

@@ -51,6 +51,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!readSchema.contains("tags"), s"tags not pruned: $readSchema")
   }
 
+  test("hot-tag filters push down to the scan and equal the cold array path") {
+    val view = spark.read.parquet(viewPath)
+    // pushdown pin: the materialized t_highway column carries the predicate
+    // into the parquet scan (IsNotNull enables null-count row-group skips,
+    // EqualTo enables min/max skips)
+    val p = plan(FilterEngine.filterView(view, "highway == residential"))
+    assert(p.contains("IsNotNull(t_highway)"), s"missing IsNotNull pushdown in:\n$p")
+    assert(p.contains("EqualTo(t_highway,residential)"), s"missing EqualTo pushdown in:\n$p")
+    // bare-key and regex checks also reach the scan via IsNotNull
+    val p2 = plan(FilterEngine.filterView(view, "highway =~ '_link$'"))
+    assert(p2.contains("IsNotNull(t_highway)"), s"regex IsNotNull missing in:\n$p2")
+    // semantic pin: hot compile == cold compile on every tag-check shape,
+    // including a non-hot key (cold path intact) and negations
+    for (e <- Seq("highway == residential", "highway != residential",
+      "highway =~ 'prim'", "highway !~ 'prim'", "highway",
+      "oneway == yes and not (building == '12')", "priority == 'x'",
+      "not highway")) {
+      val hot = FilterEngine.filterView(view, e).select("doc_id")
+      val cold = view.filter(Compiler.compileEffective(Parser.parse(e)))
+        .select("doc_id")
+      assert(hot.exceptAll(cold).isEmpty && cold.exceptAll(hot).isEmpty,
+        s"hot/cold mismatch for: $e")
+    }
+  }
+
   test("whole-stage codegen covers the scalar filter path") {
     val view = spark.read.parquet(viewPath)
     val p = plan(FilterEngine.filterView(view, "@version >= 2 and @id != 7"))
