@@ -133,7 +133,16 @@ object Similarity {
   /** k-means coarse quantizer, trained distributed: deterministic seeded
     * init, `iters` Lloyd rounds (assign via broadcast-literal dot products,
     * recenter via posexplode + per-(centroid, dim) average). Centroid count
-    * and dims are small; the heavy side (corpus) is never collected. */
+    * and dims are small; the heavy side (corpus) is never collected.
+    *
+    * Knobs vs recall (measured, tools.RecallProbe / BASELINE.md round-4):
+    * `iters` is fixed with no movement check — standard Lloyd, and at the
+    * default nCentroids=16 round 2 is already within noise of converged on
+    * the bench fixture; an empty centroid keeps its stale position
+    * (deterministic; it simply attracts no probes). Raising `iters` buys
+    * assignment balance, not recall — recall is governed by nProbe/nCentroids
+    * (the scanned fraction): nc=16 np=1/2/4/8 → 0.29/0.42/0.56/0.76 @10 on
+    * the structureless uniform fixture. */
   def ivfCentroids(corpus: DataFrame, dim: Int, nCentroids: Int,
                    iters: Int = 2, seed: Long = 42L): Array[Array[Double]] = {
     var cents = hyperplanes(dim, nCentroids, seed).map(normalize)

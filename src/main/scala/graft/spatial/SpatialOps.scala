@@ -252,40 +252,48 @@ object SpatialOps {
   def knn(points: DataFrame, queries: DataFrame, k: Int,
           level: Int = 10, maxRing: Int = 2,
           metric: SpatialMetric = HaversineMetric,
-          tieBreak: String = "doc_id", widenSteps: Int = 2): DataFrame = {
+          tieBreak: String = "doc_id", widenSteps: Int = 2,
+          rankSalts: Int = 64): DataFrame = {
     val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
     val dist = metric.dist(col("qlat"), col("qlon"), col("lat"), col("lon"))
 
     // Exact top-k per query in two phases (the Similarity.topKPerQuery
     // shape): a salted local rank bounds every sort to its salt group, then
-    // the global rank orders ≤ salts·k survivors per query. EXACT: a row in
-    // the true global top-k has < k rows above it in its own salt group, so
-    // it survives phase 1; both phases share the (dist_m, tieBreak) order.
-    // The single-window form — partitionBy(query_id) alone — fully sorts
-    // each query's candidate set in ONE task, which is harmless on
-    // ring-bounded candidates but is exactly the parallelism cap that cost
-    // brute top-k 0.36 efficiency at scale; the brute fallback below scans
-    // the whole corpus per query, where it matters most.
-    val salts = 64
+    // the global rank orders ≤ rankSalts·k survivors per query. EXACT: a
+    // row in the true global top-k has < k rows above it in its own salt
+    // group, so it survives phase 1; both phases share the
+    // (dist_m, tieBreak) order. The single-window form (rankSalts = 1) —
+    // partitionBy(query_id) alone — fully sorts each query's candidate set
+    // in ONE task: that is the parallelism cap that cost brute top-k 0.36
+    // efficiency at scale, and the brute fallback below scans the whole
+    // corpus per query, where it matters most (ScalingBench ops `knn` row:
+    // 0.94 efficiency at 1×2→4×2 with the two-phase rank).
     def rankTopK(scored: DataFrame): DataFrame = {
-      val wLocal = Window
-        .partitionBy(col("query_id"), pmod(hash(col(tieBreak)), lit(salts)))
-        .orderBy(col("dist_m"), col(tieBreak))
       val wGlobal = Window.partitionBy(col("query_id"))
         .orderBy(col("dist_m"), col(tieBreak))
-      scored.withColumn("rn", row_number().over(wLocal))
-        .filter(col("rn") <= k).drop("rn")
-        .withColumn("rn", row_number().over(wGlobal))
+      val local =
+        if (rankSalts <= 1) scored
+        else {
+          val wLocal = Window
+            .partitionBy(col("query_id"), pmod(hash(col(tieBreak)), lit(rankSalts)))
+            .orderBy(col("dist_m"), col(tieBreak))
+          scored.withColumn("rn", row_number().over(wLocal))
+            .filter(col("rn") <= k).drop("rn")
+        }
+      local.withColumn("rn", row_number().over(wGlobal))
         .filter(col("rn") <= k).drop("rn")
     }
 
-    /** One ring pass: (certified top-k, uncertified queries). */
+    /** One ring pass: (certified top-k, uncertified queries). The ranked
+      * top-k is localCheckpoint'ed (≤ queries·k rows): both its consumers —
+      * the certification stats below and the output union — would otherwise
+      * re-execute the whole candidate join + rank. */
     def attempt(qs: DataFrame, ring: Int): (DataFrame, DataFrame) = {
       val qCells = qs.withColumn("cell",
         explode(ringCellsUdf(level, ring)(col("qlat"), col("qlon"))))
       val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
         .withColumn("dist_m", dist)
-      val topk = rankTopK(candidates)
+      val topk = rankTopK(candidates).localCheckpoint()
 
       // per-query decision: lower-bound distance to each uncovered-side edge
       val edges = coverEdgesUdf(level, ring)(col("qlat"), col("qlon"))

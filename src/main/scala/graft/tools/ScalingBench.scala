@@ -198,9 +198,11 @@ object ScalingBench {
     // stand in for: per-round driver synchronization is a serial cost that
     // does not shrink with executors.
     import graft.spatial.SpatialOps
-    // ~14M chain edges in 17-vertex components (diameter 16): real
-    // multi-round closure, decoupled from the hv corpus size
-    val edgeN = 20000000L
+    // ~5.6M chain edges in 17-vertex components (diameter 16): real
+    // multi-round closure, decoupled from the hv corpus size; sized so one
+    // full execution is ≥30 s at the 4N config (fixed per-round driver
+    // costs <5%) without making the 3-execution N-config run take an hour
+    val edgeN = 8000000L
     val edges = spark.range(0, edgeN, 1, math.max(64, cores * 4))
       .filter(col("id") % 23 < 16)
       .select(col("id").as("key_a"), (col("id") + 1).as("key_b"))
