@@ -143,6 +143,17 @@ object SparkEntry {
          |SELECT d.otype, d.id FROM d JOIN wanted w ON d.otype = w.otype AND abs(d.id) = w.pid
          |ORDER BY d.otype, d.id""".stripMargin,
 
+    // hot-path twin (TpchOsm tag arithmetic): highway==residential ⟺
+    // k%3=0 ∧ (k%7)=0; oneway==yes ⟺ k%5=0 ∧ k%10=0 ⟺ k%10=0;
+    // addr:housenumber only when k%11=0, value k%250; building never
+    // occurs; priority is o_orderpriority (cold key)
+    "ofl_hot_filter" ->
+      s"""SELECT $idExpr AS id FROM orders
+         |WHERE o_orderkey % 21 = 0
+         |   OR (o_orderkey % 10 = 0 AND o_orderkey % 11 = 0 AND o_orderkey % 250 = 42)
+         |   OR (o_orderpriority LIKE '3%' AND o_orderkey % 3 = 0)
+         |ORDER BY id""".stripMargin,
+
     "spatial_grid_density" ->
       s"""SELECT cx, cy, count(*) AS n FROM (
          |  SELECT CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) AS cx,
@@ -436,6 +447,17 @@ object SparkEntry {
          |         CAST(16 + (o_orderkey % 1000 * 7) % 48 AS INT) AS width,
          |         CAST(16 + (o_orderkey % 1000 * 13) % 48 AS INT) AS height,
          |         'png' AS format
+         |  FROM orders WHERE o_orderkey % 8 = 0) m
+         |ORDER BY doc_id, media_ref""".stripMargin,
+
+    "multimodal_resize" ->
+      s"""SELECT doc_id, media_ref, CAST(12 AS INT) AS width, CAST(10 AS INT) AS height,
+         |       TRUE AS real_decode,
+         |       CAST(o_orderkey % 1000 % 256 AS INT) AS p00
+         |FROM (
+         |  SELECT concat(substr($typExpr, 1, 1), CAST($idExpr AS VARCHAR)) AS doc_id,
+         |         concat('media://', CAST(o_orderkey % 1000 AS VARCHAR)) AS media_ref,
+         |         o_orderkey
          |  FROM orders WHERE o_orderkey % 8 = 0) m
          |ORDER BY doc_id, media_ref""".stripMargin,
 

@@ -85,6 +85,22 @@ object Queries {
     "ofl_mask_quirk" -> ofl("@tags > @nodes") { v =>
       v.select(col("id"), col("type").as("otype")).orderBy("id")
     },
+    // the HOT compile path end-to-end: materialize the view (with t_<key>
+    // pushdown columns), then filterView so tag checks on hot keys compile
+    // to the projected columns — the predicate mixes hot equality
+    // (highway, oneway, addr:housenumber), a hot has-key on an
+    // ALL-NULL column (building never occurs in the derivation), and a
+    // cold key (priority is not in HotTags), so both compile paths are
+    // oracle-checked in one query
+    "ofl_hot_filter" -> { (spark, sfDir) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-hotview").toString
+      FilterEngine.materializeView(TpchOsm.docs(spark, sfDir), dir)
+      val view = spark.read.parquet(dir)
+      FilterEngine.filterView(view,
+        "highway == residential or (oneway == yes and 'addr:housenumber' == '42') " +
+          "or building or (priority =~ '^3' and highway)")
+        .select(col("id")).orderBy("id")
+    },
     "ofl_complete_ways" -> { (spark, sfDir) =>
       FilterEngine.completeWays(TpchOsm.docs(spark, sfDir), "highway == primary")
         .select(col("type").as("otype"), col("id")).orderBy("otype", "id")
@@ -388,6 +404,25 @@ object Queries {
       val media = graft.ops.Multimodal.mediaTable(graft.model.OsmView.derive(docs))
       graft.ops.Multimodal.decodeImages(media, featureDim = 8)
         .toDF().select("doc_id", "media_ref", "width", "height", "format")
+        .orderBy("doc_id", "media_ref")
+    },
+    "multimodal_resize" -> { (spark, sfDir) =>
+      // the FULL real-pixel chain: PngSynth encode (mediaTable) → decode →
+      // nearest-neighbor resample → re-encode → decode again for the
+      // emitted corner pixel, which equals the source gradient's (0,0)
+      // value = mid mod 256 (nearest-neighbor maps output (0,0) to source
+      // (0,0)) — SQL-recomputable from the ref digits, so a bug anywhere
+      // in the pixel chain breaks the hash
+      import spark.implicits._
+      val docs = TpchOsm.docs(spark, sfDir)
+      val media = graft.ops.Multimodal.mediaTable(graft.model.OsmView.derive(docs))
+      graft.ops.Multimodal.resizeImages(media, 12, 10)
+        .map { r =>
+          val p00 = graft.ops.Multimodal.PngSynth.decodeGray(r.bytes)
+            .map(t => t._3(0) & 0xff).getOrElse(-1)
+          (r.doc_id, r.media_ref, r.width, r.height, r.real_decode, p00)
+        }
+        .toDF("doc_id", "media_ref", "width", "height", "real_decode", "p00")
         .orderBy("doc_id", "media_ref")
     })
 }

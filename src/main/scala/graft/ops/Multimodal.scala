@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed partition-wise in batches (the Scala
   * analog of `mapInPandas` batch processing).
   *
-  * The actual image/audio DECODE is a clearly-marked STUB — no codec
-  * libraries ship in this container — but everything Spark-side is real and
-  * tested: schema, typed Dataset boundaries, partition-wise batch iteration,
-  * and deterministic outputs so downstream joins/tests are stable. Swapping
-  * `StubCodecs` for a real decoder changes no plumbing.
+  * The grayscale-PNG path is REAL end-to-end, pure JVM: [[PngSynth]]
+  * encodes (stored-deflate IDAT) and decodes (any zlib stream, all five
+  * scanline filters), [[HeaderCodecs]] parses PNG/JPEG dimensions, and
+  * [[resizeImages]] runs decode → nearest-neighbor resample → re-encode.
+  * Only codec-library-bound work (JPEG entropy decode, audio/video codecs,
+  * learned feature extractors) stays behind the clearly-marked
+  * [[StubCodecs]]; swapping it for imageio/ffmpeg changes no plumbing.
   */
 object Multimodal {
 
@@ -117,19 +119,15 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** A complete grayscale PNG of `width`×`height`; pixel (x, y) is a
-      * deterministic gradient of (x, y, seed). */
-    def png(width: Int, height: Int, seed: Int): Array[Byte] = {
+    /** Encodes row-major 8-bit grayscale `pixels` as a complete PNG. */
+    def encodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
       require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      require(pixels.length == width * height, "pixels != width*height")
       val raw = new Array[Byte](height * (1 + width))
       var y = 0
       while (y < height) {
-        val rowOff = y * (1 + width) // raw(rowOff) stays 0: filter type None
-        var x = 0
-        while (x < width) {
-          raw(rowOff + 1 + x) = ((x * 31 + y * 17 + seed) & 0xff).toByte
-          x += 1
-        }
+        // raw(y*(1+width)) stays 0: filter type None
+        System.arraycopy(pixels, y * width, raw, y * (1 + width) + 1, width)
         y += 1
       }
       val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -137,6 +135,115 @@ object Multimodal {
         Array[Byte](8 /*depth*/ , 0 /*grayscale*/ , 0, 0, 0)
       sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlibStored(raw)) ++
         chunk("IEND", Array.empty)
+    }
+
+    /** A complete grayscale PNG of `width`×`height`; pixel (x, y) is a
+      * deterministic gradient of (x, y, seed). */
+    def png(width: Int, height: Int, seed: Int): Array[Byte] = {
+      val pixels = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          pixels(y * width + x) = ((x * 31 + y * 17 + seed) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      encodeGray(width, height, pixels)
+    }
+
+    /** REAL grayscale-PNG decoder, pure JDK: walks the chunk stream,
+      * inflates the concatenated IDATs (any zlib stream — `Inflater`, not
+      * just our stored blocks), and reverses all five PNG scanline filters
+      * (None/Sub/Up/Average/Paeth, bpp = 1), so PNGs from other encoders
+      * (e.g. ImageIO, which emits Paeth-filtered deflate) decode too.
+      * Returns (width, height, row-major pixels); None for anything that is
+      * not an 8-bit colortype-0 PNG. */
+    def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b.length < 8 || !HeaderCodecs.pngDims(b).isDefined) return None
+      var w = 0; var h = 0; var depth = -1; var color = -1; var interlace = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      while (i + 8 <= b.length) {
+        val len = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+          ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        val tag = new String(b, i + 4, 4, "US-ASCII")
+        if (len < 0 || i + 8 + len > b.length) return None
+        tag match {
+          case "IHDR" if len >= 13 =>
+            w = ((b(i + 8) & 0xff) << 24) | ((b(i + 9) & 0xff) << 16) |
+              ((b(i + 10) & 0xff) << 8) | (b(i + 11) & 0xff)
+            h = ((b(i + 12) & 0xff) << 24) | ((b(i + 13) & 0xff) << 16) |
+              ((b(i + 14) & 0xff) << 8) | (b(i + 15) & 0xff)
+            depth = b(i + 16) & 0xff; color = b(i + 17) & 0xff
+            interlace = b(i + 20) & 0xff
+          case "IDAT" => idat.write(b, i + 8, len)
+          case _      => ()
+        }
+        i += 12 + len // len + type + crc
+      }
+      if (w <= 0 || h <= 0 || depth != 8 || color != 0 || interlace != 0)
+        return None
+      val raw = new Array[Byte](h * (1 + w))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      if (off != raw.length) return None
+      // reverse per-scanline filters (bpp = 1)
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (1 + w)) & 0xff
+        var x = 0
+        while (x < w) {
+          val cur = raw(y * (1 + w) + 1 + x) & 0xff
+          val a = if (x > 0) px(y * w + x - 1) & 0xff else 0 // left
+          val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+          val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+          val out = ft match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + up
+            case 3 => cur + (a + up) / 2
+            case 4 => // Paeth predictor
+              val p = a + up - ul
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+            case _ => return None
+          }
+          px(y * w + x) = (out & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    }
+
+    /** Nearest-neighbor resample of a row-major grayscale buffer. */
+    def resizeGray(inW: Int, inH: Int, pixels: Array[Byte],
+                   outW: Int, outH: Int): Array[Byte] = {
+      require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+      val out = new Array[Byte](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = y.toLong * inH / outH
+        var x = 0
+        while (x < outW) {
+          out(y * outW + x) = pixels((sy * inW + x.toLong * inW / outW).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 
@@ -199,6 +306,38 @@ object Multimodal {
             .getOrElse(StubCodecs.decodeImage(r.bytes))
           DecodedImage(r.doc_id, r.media_ref, w, h, fmt,
             StubCodecs.extractFeature(r.bytes, featureDim))
+        }
+      }
+  }
+
+  final case class ResizedImage(doc_id: String, media_ref: String,
+                                width: Int, height: Int, real_decode: Boolean,
+                                bytes: Array[Byte])
+
+  /** Batch image resize to `targetW`×`targetH`: REAL decode → nearest-
+    * neighbor resample → re-encode for grayscale PNGs (the [[mediaTable]]
+    * payloads and anything else [[PngSynth.decodeGray]] reads, including
+    * filtered/deflated PNGs from other encoders); non-decodable payloads
+    * get a deterministic stub gradient seeded by the payload hash
+    * (`real_decode = false`). Partition-wise `mapPartitions`, a few KB per
+    * row, never collected — the thumbnail/normalization stage of a
+    * multimodal training pipeline. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_ref", "bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          PngSynth.decodeGray(r.bytes) match {
+            case Some((w, h, px)) =>
+              val out = PngSynth.resizeGray(w, h, px, targetW, targetH)
+              ResizedImage(r.doc_id, r.media_ref, targetW, targetH,
+                real_decode = true, PngSynth.encodeGray(targetW, targetH, out))
+            case None =>
+              val seed = java.util.Arrays.hashCode(r.bytes)
+              ResizedImage(r.doc_id, r.media_ref, targetW, targetH,
+                real_decode = false, PngSynth.png(targetW, targetH, seed & 0xff))
+          }
         }
       }
   }

@@ -448,6 +448,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PngSynth.decodeGray reads foreign PNGs (ImageIO's filtered deflate) and resize resamples exactly") {
+    // round-trip our own encoder
+    val own = Multimodal.PngSynth.png(37, 23, 77)
+    val Some((w0, h0, px0)) = Multimodal.PngSynth.decodeGray(own)
+    assert((w0, h0) === (37, 23))
+    for (x <- 0 until 37; y <- 0 until 23)
+      assert((px0(y * 37 + x) & 0xff) === ((x * 31 + y * 17 + 77) & 0xff))
+    // a FOREIGN encoder: ImageIO emits real deflate with Sub/Up/Paeth
+    // scanline filters — decoding it exercises every non-trivial path
+    val img = new java.awt.image.BufferedImage(41, 29,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 41; y <- 0 until 29)
+      img.getRaster.setSample(x, y, 0, (x * x + 3 * y) % 251)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val Some((w1, h1, px1)) = Multimodal.PngSynth.decodeGray(baos.toByteArray)
+    assert((w1, h1) === (41, 29))
+    for (x <- 0 until 41; y <- 0 until 29)
+      assert((px1(y * 41 + x) & 0xff) === (x * x + 3 * y) % 251, s"pixel ($x,$y)")
+    // resize: every output pixel equals its nearest-neighbor source pixel
+    val resized = Multimodal.PngSynth.resizeGray(41, 29, px1, 16, 8)
+    for (x <- 0 until 16; y <- 0 until 8)
+      assert(resized(y * 16 + x) === px1((y * 29 / 8) * 41 + x * 41 / 16))
+    // operator end-to-end over the media table: real decode flag set, output
+    // parses back with the target dims
+    val media = Seq(("d1", "media://5", Multimodal.PngSynth.png(40, 30, 5)),
+      ("d2", "media://blob", "not a png".getBytes))
+      .toDF("doc_id", "media_ref", "bytes")
+    val out = Multimodal.resizeImages(media, 12, 10).collect()
+      .map(r => r.media_ref -> r).toMap
+    assert(out("media://5").real_decode && !out("media://blob").real_decode)
+    out.values.foreach { r =>
+      assert(Multimodal.HeaderCodecs.imageDims(r.bytes) === Some((12, 10, "png")))
+    }
+    // resized real image: spot-check one pixel against the source gradient
+    val Some((_, _, rp)) = Multimodal.PngSynth.decodeGray(out("media://5").bytes)
+    assert((rp(0) & 0xff) === ((0 * 31 + 0 * 17 + 5) & 0xff))
+  }
+
   test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {
     val docs = graft.fixtures.DeterministicGen.docsDF(spark, 0.001)
     val view = graft.model.OsmView.derive(docs)
