@@ -285,13 +285,10 @@ object Bench {
     // from tools.RecallProbe). Values, not timings — kept out of `queries`.
     val truth = Similarity.bruteTopK(embeddings, embQ, 10)
       .select("query_id", "vec_id").cache()
-    val truthN = truth.count()
-    def recallOf(approx: DataFrame): Double =
-      approx.select("query_id", "vec_id")
-        .join(truth, Seq("query_id", "vec_id"), "left_semi").count().toDouble / truthN
-    val lshRecall = recallOf(
+    truth.count()
+    val lshRecall = Similarity.recallAgainst(truth,
       Similarity.lshTopK(embeddings, embQ, 10, dim = 64, bits = 8, probes = 8))
-    val ivfRecall = recallOf(
+    val ivfRecall = Similarity.recallAgainst(truth,
       Similarity.ivfTopK(embeddings, embQ, 10, dim = 64, nCentroids = 16, nProbe = 4))
     truth.unpersist()
 

@@ -150,7 +150,7 @@ object SparkEntry {
     "ofl_hot_filter" ->
       s"""SELECT $idExpr AS id FROM orders
          |WHERE o_orderkey % 21 = 0
-         |   OR (o_orderkey % 10 = 0 AND o_orderkey % 11 = 0 AND o_orderkey % 250 = 42)
+         |   OR (o_orderkey % 10 = 0 AND o_orderkey % 11 = 0 AND o_orderkey % 250 = 110)
          |   OR (o_orderpriority LIKE '3%' AND o_orderkey % 3 = 0)
          |ORDER BY id""".stripMargin,
 

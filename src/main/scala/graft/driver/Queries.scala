@@ -93,11 +93,18 @@ object Queries {
     // cold key (priority is not in HotTags), so both compile paths are
     // oracle-checked in one query
     "ofl_hot_filter" -> { (spark, sfDir) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-hotview").toString
+      // deterministic overwritten path: a fresh createTempDirectory per
+      // Verify run would accumulate full view copies under /tmp forever
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-hotview-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
       FilterEngine.materializeView(TpchOsm.docs(spark, sfDir), dir)
       val view = spark.read.parquet(dir)
+      // '110' keeps the oneway/housenumber conjunct LIVE at sf0.01 (six
+      // matching rows): k%10=0 ∧ k%11=0 ∧ k%250=110 is satisfiable,
+      // unlike '42' (k%250=42 forces k%10=2 — contradiction), so a hot
+      // column compiling to always-null would fail this gate
       FilterEngine.filterView(view,
-        "highway == residential or (oneway == yes and 'addr:housenumber' == '42') " +
+        "highway == residential or (oneway == yes and 'addr:housenumber' == '110') " +
           "or building or (priority =~ '^3' and highway)")
         .select(col("id")).orderBy("id")
     },

@@ -169,7 +169,9 @@ object Multimodal {
         val len = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
           ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
         val tag = new String(b, i + 4, 4, "US-ASCII")
-        if (len < 0 || i + 8 + len > b.length) return None
+        // subtraction form: `i + 8 + len` overflows Int for adversarial
+        // lengths near Int.MaxValue, silently bypassing the bound
+        if (len < 0 || len > b.length - i - 8) return None
         tag match {
           case "IHDR" if len >= 13 =>
             w = ((b(i + 8) & 0xff) << 24) | ((b(i + 9) & 0xff) << 16) |
@@ -192,7 +194,11 @@ object Multimodal {
       try {
         while (off < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, off, raw.length - off)
-          if (n == 0 && inf.needsInput()) return None // truncated stream
+          // n == 0 while unfinished covers truncated input AND streams
+          // demanding a preset dictionary (FDICT) — either way, not ours;
+          // breaking here rather than on needsInput() alone prevents an
+          // infinite loop on the dictionary case
+          if (n == 0) return None
           off += n
         }
       } catch { case _: java.util.zip.DataFormatException => return None }

@@ -67,6 +67,17 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** recall@k of an approximate result against exact `truth` — both shaped
+    * (query_id, vec_id, …). THE recall definition: every consumer
+    * (Bench's per-round `sim_*_recall_at10` fields, RecallProbe's sweep
+    * table) must route through here so the protocol cannot drift between
+    * the artifact and the BASELINE table. */
+  def recallAgainst(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select("query_id", "vec_id")
+    approx.select("query_id", "vec_id")
+      .join(t, Seq("query_id", "vec_id"), "left_semi").count().toDouble / t.count()
+  }
+
   /** First `probes` XOR masks in full signature hamming order (all 1-bit
     * flips, then 2-bit, … up to all bits) — the shared multi-probe ladder of
     * [[lshTopK]] and [[cosineDupPairs]]. */

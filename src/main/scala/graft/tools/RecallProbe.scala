@@ -35,10 +35,7 @@ object RecallProbe {
       .select("query_id", "vec_id").cache()
     val truthN = truth.count()
 
-    def recall(approx: DataFrame): Double =
-      approx.select("query_id", "vec_id")
-        .join(truth, Seq("query_id", "vec_id"), "left_semi")
-        .count().toDouble / truthN
+    def recall(approx: DataFrame): Double = Similarity.recallAgainst(truth, approx)
 
     println(s"# embeddings=$nEmb queries=${truthN / k} k=$k")
     println("kind\tconfig\trecall@10\tcand_frac")

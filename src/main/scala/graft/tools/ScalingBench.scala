@@ -202,10 +202,11 @@ object ScalingBench {
     // multi-round closure, decoupled from the hv corpus size; sized so one
     // full execution is ≥30 s at the 4N config (fixed per-round driver
     // costs <5%) without making the 3-execution N-config run take an hour
-    val edgeN = 8000000L
-    val edges = spark.range(0, edgeN, 1, math.max(64, cores * 4))
+    val edgeRange = 8000000L
+    val edges = spark.range(0, edgeRange, 1, math.max(64, cores * 4))
       .filter(col("id") % 23 < 16)
       .select(col("id").as("key_a"), (col("id") + 1).as("key_b"))
+    val edgeN = edges.count() // actual edges (16/23 of the range), not the range
     val ptsN = 12000000L
     val ptsPath = s"/root/repo/target/bench/pts_dist_n$ptsN"
     if (!new java.io.File(ptsPath + "/_SUCCESS").exists())

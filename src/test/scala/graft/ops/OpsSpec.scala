@@ -467,6 +467,23 @@ class OpsSpec extends AnyFunSuite {
     assert((w1, h1) === (41, 29))
     for (x <- 0 until 41; y <- 0 until 29)
       assert((px1(y * 41 + x) & 0xff) === (x * x + 3 * y) % 251, s"pixel ($x,$y)")
+    // adversarial payloads must return None, not hang or throw: (a) a zlib
+    // header demanding a preset dictionary (FDICT bit — Inflater would
+    // yield 0 bytes forever), (b) a chunk length near Int.MaxValue whose
+    // naive bounds check overflows
+    val fdict = own.clone()
+    // IDAT data starts after sig(8) + IHDR chunk(4+4+13+4); patch its
+    // 2-byte zlib header to 0x78 0x20: FDICT set AND valid FCHECK
+    // ((0x7800 + 0x20) % 31 == 0), so Inflater takes the
+    // needs-a-preset-dictionary path (inflate() = 0, not finished) rather
+    // than throwing on the checksum
+    val idatData = 8 + 25 + 8
+    fdict(idatData) = 0x78.toByte; fdict(idatData + 1) = 0x20.toByte
+    assert(Multimodal.PngSynth.decodeGray(fdict) === None)
+    // second chunk declares length 0x7FFFFFF0: i + 8 + len wraps negative
+    val hugeLen = own.take(8 + 25) ++ Array[Byte](0x7f, -1, -1, -16) ++
+      "IDAT".getBytes ++ Array.fill[Byte](16)(1)
+    assert(Multimodal.PngSynth.decodeGray(hugeLen) === None)
     // resize: every output pixel equals its nearest-neighbor source pixel
     val resized = Multimodal.PngSynth.resizeGray(41, 29, px1, 16, 8)
     for (x <- 0 until 16; y <- 0 until 8)
