@@ -265,6 +265,14 @@ object Bench {
         graft.ops.TextOps.qualityScore(col("text")),
         graft.ops.TextOps.langId(col("text"))).count())
 
+    // multimodal: real PNG decode → resample → re-encode over every media
+    // payload of the bench docs (payload synthesis cached out of the timing)
+    val media = graft.ops.Multimodal.mediaTable(graft.model.OsmView.derive(docs)).cache()
+    val nMedia = media.count()
+    results("multimodal_resize") = median3("multimodal_resize")(
+      graft.ops.Multimodal.resizeImages(media, 64, 64).count())
+    media.unpersist()
+
     val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     embeddings.count()
     val embQ = embeddings.filter(col("vec_id") < 20)
@@ -300,7 +308,7 @@ object Bench {
     val spreadJson = spreads.map { case (k, (mn, mx)) =>
       "\"" + k + f"""\":[$mn%.3f,$mx%.3f]""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spreadJson,"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,"sim_lsh_recall_at10":$lshRecall%.3f,"sim_ivf_recall_at10":$ivfRecall%.3f,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_cold_elements_per_sec":$filterColdEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spreadJson,"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,"sim_lsh_recall_at10":$lshRecall%.3f,"sim_ivf_recall_at10":$ivfRecall%.3f,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_cold_elements_per_sec":$filterColdEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv,"media_rows":$nMedia}"""
     println(json)
     // belt-and-braces for the driver: a file copy free of any logger prefixing
     val out = java.nio.file.Paths.get("/root/repo/target/bench/bench.json")

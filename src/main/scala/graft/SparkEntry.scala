@@ -372,6 +372,60 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
         |ORDER BY doc_id""".stripMargin,
 
+    "pipeline_dedup_quality" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM u),
+        |sh AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])) END AS s
+        |  FROM tok),
+        |grp AS (
+        |  SELECT doc_id, text,
+        |    COALESCE(NULLIF(array_to_string(list_sort(s), CHR(31)), ''),
+        |             'solo-' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM sh),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM grp GROUP BY skey),
+        |qt AS (
+        |  SELECT g.doc_id, g.text,
+        |    list_filter(string_split_regex(lower(g.text), '[^\p{L}]+'),
+        |                x -> len(x) > 0) AS ltoks
+        |  FROM grp g JOIN surv USING (doc_id)),
+        |sc AS (
+        |  SELECT doc_id, text, ltoks,
+        |    CASE WHEN len(ltoks) = 0 THEN 0.0
+        |         ELSE len(list_intersect(ltoks, ['the','and','of','to','in','is','that','it','was','for','with','as','on','are','this','be','at','have','not'])) * 1.0 / len(ltoks) END AS stop_raw,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE len(regexp_extract_all(text, '[[:punct:]]')) * 1.0 / length(text) END AS punct
+        |  FROM qt),
+        |quality AS (
+        |  SELECT doc_id, ltoks,
+        |    round((least(length(text) / 500.0, 1.0)
+        |         + (CASE WHEN punct > 0.3 THEN 0.0 ELSE 1.0 - punct / 0.3 END)
+        |         + least(stop_raw * 4.0, 1.0)) / 3.0, 4) AS q
+        |  FROM sc)
+        |SELECT doc_id FROM quality
+        |WHERE q >= 0.5
+        |  AND len(ltoks) > 0
+        |  AND len(list_intersect(list_distinct(ltoks), ['the','and','of','to','in','is','that','it','was','for','with','as','on','are','this','be','at','have','not'])) >
+        |      greatest(
+        |        len(list_intersect(list_distinct(ltoks), ['der','die','das','und','ist','nicht','ein','eine','mit','für','von','auf','dem','den','des','im','sich','auch'])) - 1,
+        |        len(list_intersect(list_distinct(ltoks), ['le','la','les','et','est','des','une','dans','que','pour','qui','sur','pas','au','par','avec','du','ce'])) - 1,
+        |        len(list_intersect(list_distinct(ltoks), ['el','la','los','las','y','es','en','que','de','un','una','por','con','para','del','se','no','su'])) - 1,
+        |        len(list_intersect(list_distinct(ltoks), ['il','la','di','che','e','un','una','per','con','non','sono','del','della','gli','le','si','nel'])) - 1,
+        |        0)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,

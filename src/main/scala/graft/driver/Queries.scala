@@ -303,6 +303,32 @@ object Queries {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // the CAPSTONE pipeline — what a real training-data prep run composes:
+    // near-dup pair detection (MinHash-LSH at threshold 1.0: j=1 ⟺ shingle-
+    // SET equality, an equivalence relation, and identical sets share all
+    // band keys so candidacy is guaranteed) → transitive cluster resolution
+    // → one survivor per cluster → quality + language gate. The oracle
+    // re-derives every stage: set-equality grouping stands in for
+    // pairs+components (equivalence ⇒ same partition), empty shingle sets
+    // stay solo (the operator emits no pairs for them: ∅-jaccard is null),
+    // and the quality/langid expressions are the text_quality/text_langid
+    // mirrors.
+    "pipeline_dedup_quality" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val seeded = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val u = docs.unionByName(seeded)
+      val pairs = Dedup.minhashDupPairs(u, col("text"), col("doc_id"),
+        ngram = 3, numHashes = 16, bands = 4, threshold = 1.0)
+        .select("key_a", "key_b")
+      val survivors = Dedup.dedupByClusters(u, col("doc_id"), Dedup.dupClusters(pairs))
+      survivors
+        .filter(TextOps.qualityScore(col("text")) >= 0.5 &&
+          TextOps.langId(col("text")) === "en")
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // --- events (streaming surface, batch-executed for the oracle) ---------------
     "events_windowed" -> { (spark, sfDir) =>
       // EventStreams.windowedCounts runs batch or stream; batch execution

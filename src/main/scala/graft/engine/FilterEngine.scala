@@ -202,7 +202,9 @@ object FilterEngine {
       case Some(p) => out.filter(p)
       case None    => out
     }
-    masked.filter(Compiler.compile(residualExpr, cachingLoader))
+    // residual tag checks also target the view's hot columns when present
+    masked.filter(Compiler.compile(residualExpr, cachingLoader,
+      HotTags.forSchema(view.schema)))
   }
 
   /** Filter over a materialized typed view (see [[materializeView]]):
