@@ -65,21 +65,24 @@ object ScalingBench {
       return
     }
 
-    val docsPath = s"/root/repo/target/bench/docs_dist_n$n"
-    val viewPath = docsPath + "_view"
-    if (!new java.io.File(viewPath + "/_SUCCESS").exists()) {
-      DeterministicGen.distributedDocs(spark, n,
-        parts = math.max(128, (n / 200000).toInt)) // ~200k docs per gen task
-        .write.mode("overwrite").partitionBy("type").parquet(docsPath)
-      FilterEngine.materializeView(spark.read.parquet(docsPath), viewPath)
-    }
-    // mode "typed" (default) measures the materialized-view suite; mode
-    // "decode" measures the in-flight pruned-codegen decode suite (the
+    // mode "typed" (default) measures the materialized-view suite (cold
+    // array-path compile, comparable with the r2/r3 tables); mode "hot"
+    // measures the same suite over the HotTags layout with the hot-aware
+    // compile — the current filterView production path; mode "decode"
+    // measures the in-flight pruned-codegen decode suite (the
     // FilterEngine.filter production path). The decode suite is CPU-bound
     // per element, so it evidences executor scaling well below this host's
     // ~16-effective-core JVM ceiling / IO caps that the (much faster) typed
     // scan hits at 16 cores.
     val mode = if (args.length > 2) args(2) else "typed"
+    val docsPath = s"/root/repo/target/bench/docs_dist_n$n"
+    val viewPath = docsPath + (if (mode == "hot") "_view_h1" else "_view")
+    if (!new java.io.File(docsPath + "/_SUCCESS").exists())
+      DeterministicGen.distributedDocs(spark, n,
+        parts = math.max(128, (n / 200000).toInt)) // ~200k docs per gen task
+        .write.mode("overwrite").partitionBy("type").parquet(docsPath)
+    if (mode != "decode" && !new java.io.File(viewPath + "/_SUCCESS").exists())
+      FilterEngine.materializeView(spark.read.parquet(docsPath), viewPath)
     val view =
       if (mode == "decode") graft.model.OsmView.derivePruned(spark.read.parquet(docsPath))
       else spark.read.parquet(viewPath)
@@ -96,8 +99,10 @@ object ScalingBench {
     // (post decode-codegen) would dominate the measurement. Scaling evidence
     // must measure the distributed scan, so warm once, then time steady
     // state — same median-of-N-protocol as Bench.
+    val hotMap = if (mode == "hot") graft.engine.HotTags.forSchema(view.schema)
+      else Map.empty[String, String]
     val suiteDfs = graft.Bench.filterSuite.map { e =>
-      view.filter(Compiler.compileEffective(Parser.parse(e)))
+      view.filter(Compiler.compileEffective(Parser.parse(e), Compiler.noFiles, hotMap))
     }
     suiteDfs.foreach(_.count()) // warm: analysis + codegen + JIT
 
