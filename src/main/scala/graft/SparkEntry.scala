@@ -372,8 +372,14 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
         |ORDER BY doc_id""".stripMargin,
 
-    "pipeline_dedup_quality" ->
-      """WITH u AS (
+    "pipeline_dedup_quality" -> {
+      // stopword lists interpolated from LangId.profiles (the operator's
+      // single source of truth) — hand-copied lists would silently drift
+      // when a profile changes; text_langid uses the same pattern
+      val pl = graft.ops.LangId.profiles.toMap
+      def words(code: String) = pl(code).map(w => s"'$w'").mkString(",")
+      // raw interpolator: the SQL contains \p{L}-style regex escapes
+      raw"""WITH u AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
         |  UNION ALL
         |  SELECT doc_id + 900000, text FROM documents WHERE doc_id < 40),
@@ -404,7 +410,7 @@ object SparkEntry {
         |sc AS (
         |  SELECT doc_id, text, ltoks,
         |    CASE WHEN len(ltoks) = 0 THEN 0.0
-        |         ELSE len(list_intersect(ltoks, ['the','and','of','to','in','is','that','it','was','for','with','as','on','are','this','be','at','have','not'])) * 1.0 / len(ltoks) END AS stop_raw,
+        |         ELSE len(list_intersect(ltoks, [${words("en")}])) * 1.0 / len(ltoks) END AS stop_raw,
         |    CASE WHEN length(text) = 0 THEN 0.0
         |         ELSE len(regexp_extract_all(text, '[[:punct:]]')) * 1.0 / length(text) END AS punct
         |  FROM qt),
@@ -417,14 +423,15 @@ object SparkEntry {
         |SELECT doc_id FROM quality
         |WHERE q >= 0.5
         |  AND len(ltoks) > 0
-        |  AND len(list_intersect(list_distinct(ltoks), ['the','and','of','to','in','is','that','it','was','for','with','as','on','are','this','be','at','have','not'])) >
+        |  AND len(list_intersect(list_distinct(ltoks), [${words("en")}])) >
         |      greatest(
-        |        len(list_intersect(list_distinct(ltoks), ['der','die','das','und','ist','nicht','ein','eine','mit','für','von','auf','dem','den','des','im','sich','auch'])) - 1,
-        |        len(list_intersect(list_distinct(ltoks), ['le','la','les','et','est','des','une','dans','que','pour','qui','sur','pas','au','par','avec','du','ce'])) - 1,
-        |        len(list_intersect(list_distinct(ltoks), ['el','la','los','las','y','es','en','que','de','un','una','por','con','para','del','se','no','su'])) - 1,
-        |        len(list_intersect(list_distinct(ltoks), ['il','la','di','che','e','un','una','per','con','non','sono','del','della','gli','le','si','nel'])) - 1,
+        |        len(list_intersect(list_distinct(ltoks), [${words("de")}])) - 1,
+        |        len(list_intersect(list_distinct(ltoks), [${words("fr")}])) - 1,
+        |        len(list_intersect(list_distinct(ltoks), [${words("es")}])) - 1,
+        |        len(list_intersect(list_distinct(ltoks), [${words("it")}])) - 1,
         |        0)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" ->
       """WITH t AS (

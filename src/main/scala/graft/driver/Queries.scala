@@ -23,6 +23,21 @@ object Queries {
       TpchOsm.view(spark, sfDir)
         .filter(Compiler.compileEffective(graft.ofl.Parser.parse(expr))))
 
+  /** Registers a recursive delete of `dir` at JVM exit (idempotent per
+    * path). Gate queries that materialize scratch data route through this
+    * so repeated Verify runs never accumulate under /tmp. */
+  private val exitDirs = scala.collection.mutable.Set.empty[String]
+  private[driver] def deleteOnExit(dir: String): Unit = exitDirs.synchronized {
+    if (exitDirs.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }))
+  }
+
   /** Deterministic id-list file for `in (<'file')`: "3 6 9 … 300". */
   private lazy val idFilePath: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempFile("graft-oracle-ids", ".txt")
@@ -93,10 +108,14 @@ object Queries {
     // cold key (priority is not in HotTags), so both compile paths are
     // oracle-checked in one query
     "ofl_hot_filter" -> { (spark, sfDir) =>
-      // deterministic overwritten path: a fresh createTempDirectory per
-      // Verify run would accumulate full view copies under /tmp forever
+      // per-process path (pid suffix: concurrent Verify runs must not
+      // overwrite each other's in-flight materialization) cleaned up by a
+      // shutdown hook — a fresh createTempDirectory per run with no
+      // cleanup would accumulate full view copies under /tmp forever
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-hotview-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        "graft-hotview-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+          "-" + ProcessHandle.current().pid()).toString
+      Queries.deleteOnExit(dir)
       FilterEngine.materializeView(TpchOsm.docs(spark, sfDir), dir)
       val view = spark.read.parquet(dir)
       // '110' keeps the oneway/housenumber conjunct LIVE at sf0.01 (six

@@ -71,7 +71,10 @@ object Similarity {
     * (query_id, vec_id, …). THE recall definition: every consumer
     * (Bench's per-round `sim_*_recall_at10` fields, RecallProbe's sweep
     * table) must route through here so the protocol cannot drift between
-    * the artifact and the BASELINE table. */
+    * the artifact and the BASELINE table. PRECONDITION: callers should
+    * `.cache()` (and materialize) `truth` before sweeping — each call
+    * counts it for the denominator and joins against it, so an uncached
+    * bruteTopK re-executes the full O(N·Q) scan per call. */
   def recallAgainst(truth: DataFrame, approx: DataFrame): Double = {
     val t = truth.select("query_id", "vec_id")
     approx.select("query_id", "vec_id")
