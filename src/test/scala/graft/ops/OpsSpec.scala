@@ -253,6 +253,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 >= 0.7, s"hamming-2 recall $r2")
   }
 
+  test("recallAgainst: hand-computable hit fractions, order-insensitive") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 11L), (1L, 99L), (2L, 20L), (2L, 21L), (3L, 7L))
+      .toDF("query_id", "vec_id")
+    // hits: (1,11), (2,20), (2,21) of 4 truth rows; extra/unknown rows in
+    // approx (99, query 3) must not count
+    assert(Similarity.recallAgainst(truth, approx) === 0.75)
+    assert(Similarity.recallAgainst(truth, truth) === 1.0)
+    assert(Similarity.recallAgainst(truth, truth.limit(0)) === 0.0)
+  }
+
   test("IVF ANN: nProbe=all is exact; small nProbe keeps useful recall") {
     val queries = embeddings.limit(10)
       .select(col("vec_id").as("query_id"), col("embedding"))
