@@ -108,7 +108,7 @@ object Bench {
 
     // materialized typed projection (one-time cost, measured separately);
     // _h1 = layout with HotTags pushdown columns (regenerates old caches)
-    val viewPath = docsPath + "_view_h1"
+    val viewPath = docsPath + "_view_h2"
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (!new java.io.File(viewPath + "/_SUCCESS").exists())
       results("materialize_view") = time(FilterEngine.materializeView(docs, viewPath))

@@ -463,6 +463,42 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
 
+    // gaps-and-islands twin of the sessionization kernel. Gap and bounds
+    // computed on epoch_ms (floored, exactly like Timestamp.getTime floors
+    // the fixture's µs timestamps) so a µs-straddling gap cannot disagree
+    // between the kernel and the oracle.
+    "events_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 28800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM l)
+        |SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start,
+        |       CAST(epoch_ms(max(ts)) AS BIGINT) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // pretrained-centroid probe path with every bucket probed ≡ brute
+    // top-k (same oracle as sim_ivf_ann)
+    "sim_ivf_pretrained" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS cos
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, vec_id""".stripMargin,
+
     "sim_cosine_dups" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -510,6 +546,40 @@ object SparkEntry {
          |         'png' AS format
          |  FROM orders WHERE o_orderkey % 8 = 0) m
          |ORDER BY doc_id, media_ref""".stripMargin,
+
+    // re-derives the grid-pooled cell sums from the generator's gradient
+    // arithmetic pixel(x,y) = (31x+17y+mid) mod 256 with the same integer
+    // cell bounds (cx·w/4 integer division) the pooling kernel uses — the
+    // engine side recovers the exact integer sums from the float means, so
+    // this is an exact-arithmetic compare of the full decode→pool chain
+    "multimodal_features" ->
+      s"""SELECT doc_id, media_ref, CAST(16 AS BIGINT) AS dim,
+         |  CAST(list_sum(flatten(list_transform(generate_series(0, h//4 - 1), y ->
+         |    list_transform(generate_series(0, w//4 - 1), x ->
+         |      (31*x + 17*y + mid) % 256)))) AS BIGINT) AS s00,
+         |  CAST(list_sum(flatten(list_transform(generate_series((3*h)//4, h - 1), y ->
+         |    list_transform(generate_series((3*w)//4, w - 1), x ->
+         |      (31*x + 17*y + mid) % 256)))) AS BIGINT) AS s33
+         |FROM (
+         |  SELECT concat(substr($typExpr, 1, 1), CAST($idExpr AS VARCHAR)) AS doc_id,
+         |         concat('media://', CAST(o_orderkey % 1000 AS VARCHAR)) AS media_ref,
+         |         o_orderkey % 1000 AS mid,
+         |         16 + (o_orderkey % 1000 * 7) % 48 AS w,
+         |         16 + (o_orderkey % 1000 * 13) % 48 AS h
+         |  FROM orders WHERE o_orderkey % 8 = 0) m
+         |ORDER BY doc_id, media_ref""".stripMargin,
+
+    // equal ref digits ⇒ identical payload ⇒ identical resized pixels ⇒
+    // identical pooled feature ⇒ guaranteed LSH candidacy + cosine 1: the
+    // emitted (restricted) pair set provably equals this self-join
+    "multimodal_ann_dups" ->
+      s"""WITH m AS (
+         |  SELECT concat(substr($typExpr, 1, 1), CAST($idExpr AS VARCHAR)) AS key,
+         |         o_orderkey % 1000 AS mid
+         |  FROM orders WHERE o_orderkey % 8 = 0)
+         |SELECT a.key AS key_a, b.key AS key_b
+         |FROM m a JOIN m b ON a.mid = b.mid AND a.key < b.key
+         |ORDER BY key_a, key_b""".stripMargin,
 
     "multimodal_resize" ->
       s"""SELECT doc_id, media_ref, CAST(12 AS INT) AS width, CAST(10 AS INT) AS height,

@@ -365,6 +365,31 @@ object Queries {
         .orderBy("window_start", "event_type")
     },
 
+    // batch execution of the sessionization kernel (the splitSessions logic
+    // the streaming flatMapGroupsWithState handler runs — one definition,
+    // spec-pinned equal): per-user gap-separated sessions, DuckDB
+    // gaps-and-islands oracle. Times flow as epoch MILLIS both sides (the
+    // kernel's Timestamp.getTime floors the fixture's µs timestamps to ms,
+    // and the oracle's epoch_ms floors identically — the gap comparison
+    // must also run on floored ms so a µs-straddling gap can't disagree).
+    "events_sessions" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.EventRow]
+      // 8 h gap: on the sparse fixture (≈67 events/user/month) this yields
+      // ≈2.1 events/session — real merging, not 10k singleton islands
+      graft.streaming.EventStreams.sessionizeBatch(events, gapMs = 8 * 3600 * 1000L)
+        .toDF()
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("session_start"),
+          unix_millis(col("session_end")).as("session_end"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // --- similarity ----------------------------------------------------------------
     "sim_topk" -> { (spark, sfDir) =>
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -429,6 +454,19 @@ object Queries {
       Similarity.ivfTopK(emb, queries, 10, dim = 64, nCentroids = 16, nProbe = 16)
         .select("query_id", "vec_id").orderBy("query_id", "vec_id")
     },
+    // the train-once/probe-separately production shape: centroids trained
+    // by ivfCentroids (one job), probing via the pretrained overload — with
+    // every bucket probed the result provably equals brute-force top-k,
+    // which the oracle recomputes; equality with the fused path at
+    // approximate settings is spec-pinned (OpsSpec)
+    "sim_ivf_pretrained" -> { (spark, sfDir) =>
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Similarity.ivfCentroids(emb, dim = 64, nCentroids = 16)
+      Similarity.ivfTopK(emb, queries, 10, cents, nProbe = 16)
+        .select("query_id", "vec_id").orderBy("query_id", "vec_id")
+    },
     "sim_cosine_dups" -> { (spark, sfDir) =>
       // seeded exact-duplicate vectors share LSH signatures (deterministic
       // function of the embedding), so every cos≥0.999 pair is a guaranteed
@@ -457,6 +495,58 @@ object Queries {
       graft.ops.Multimodal.decodeImages(media, featureDim = 8)
         .toDF().select("doc_id", "media_ref", "width", "height", "format")
         .orderBy("doc_id", "media_ref")
+    },
+    // the REAL feature path: decodeGray pixels → 4×4 grid-pooled mean
+    // intensities. The emitted values are the EXACT integer pixel sums of
+    // the first and last pooling cells, recovered from the float means by
+    // feature·cellCount rounding (float error ≤ mean·6e-8·count ≪ 0.5), so
+    // the oracle — which re-derives the sums from the fixture's gradient
+    // arithmetic pixel(x,y) = (31x+17y+mid) mod 256 with the same integer
+    // cell bounds — checks the decode, the pooling boundaries, and the
+    // normalization exactly, no float-rounding ambiguity
+    "multimodal_features" -> { (spark, sfDir) =>
+      val docs = TpchOsm.docs(spark, sfDir)
+      val media = graft.ops.Multimodal.mediaTable(graft.model.OsmView.derive(docs))
+      val feats = graft.ops.Multimodal.decodeImages(media, featureDim = 16).toDF()
+      val cw0 = floor(col("width") / 4).cast("long")
+      val ch0 = floor(col("height") / 4).cast("long")
+      val cw3 = col("width") - floor(col("width") * 3 / 4).cast("long")
+      val ch3 = col("height") - floor(col("height") * 3 / 4).cast("long")
+      feats.select(col("doc_id"), col("media_ref"),
+        size(col("feature")).cast("long").as("dim"),
+        round(element_at(col("feature"), 1).cast("double") * cw0 * ch0)
+          .cast("long").as("s00"),
+        round(element_at(col("feature"), 16).cast("double") * cw3 * ch3)
+          .cast("long").as("s33"))
+        .orderBy("doc_id", "media_ref")
+    },
+    // the END-TO-END multimodal → embedding → ANN chain on real pixels:
+    // payload → resize 16×16 → grid-pooled features → LSH-bucketed
+    // cosineDupPairs. Emitted pairs are restricted to equal-mid pairs —
+    // identical ref digits ⇒ identical payload ⇒ identical resized pixels ⇒
+    // identical feature vector ⇒ identical LSH signature (guaranteed
+    // candidate) and cosine 1 ≥ 0.999 — so the output provably equals the
+    // SQL-recomputable set {(a,b) : mid_a = mid_b}; a bug anywhere in the
+    // pixel/feature/bucket chain drops a row. (Unrestricted, gradient
+    // images of different seeds also pool to near-constant means — cosine
+    // ≈ 1 by construction of the fixture, not an operator property.)
+    "multimodal_ann_dups" -> { (spark, sfDir) =>
+      val docs = TpchOsm.docs(spark, sfDir)
+      val media = graft.ops.Multimodal.mediaTable(graft.model.OsmView.derive(docs))
+      val resized = graft.ops.Multimodal.resizeImages(media, 16, 16).toDF()
+      val feats = graft.ops.Multimodal
+        .decodeImages(resized.select("doc_id", "media_ref", "bytes"), featureDim = 16)
+        .toDF()
+      val emb = feats.select(col("doc_id"), col("feature").as("embedding"))
+      val pairs = Similarity.cosineDupPairs(emb, col("doc_id"),
+        threshold = 0.999, dim = 16, bits = 8)
+      val mids = media.select(col("doc_id"),
+        regexp_extract(col("media_ref"), "([0-9]{1,6})$", 1).cast("int").as("mid"))
+      pairs
+        .join(mids.select(col("doc_id").as("key_a"), col("mid").as("mid_a")), "key_a")
+        .join(mids.select(col("doc_id").as("key_b"), col("mid").as("mid_b")), "key_b")
+        .filter(col("mid_a") === col("mid_b"))
+        .select("key_a", "key_b").orderBy("key_a", "key_b")
     },
     "multimodal_resize" -> { (spark, sfDir) =>
       // the FULL real-pixel chain: PngSynth encode (mediaTable) → decode →

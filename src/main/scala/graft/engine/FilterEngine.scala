@@ -12,26 +12,68 @@ import graft.ofl.{EntityBits, Expr, OflTypeException, Parser, Pretty}
   * array cannot benefit from row-group statistics — a `highway == x` filter
   * over 100 TB otherwise decodes every tags array; with the projection,
   * min/max + null-count stats skip row groups where the key never occurs.
-  * The list is the fixture's (and OSM's) hottest keys; production would
-  * derive it from key-frequency stats at view build time. */
+  *
+  * The key list is DERIVED FROM THE DATA at [[FilterEngine.materializeView]]
+  * time (top-N by key frequency — a corpus whose hot keys differ from OSM's
+  * gets ITS hot keys projected, not a stale static list), and each hot
+  * column carries its source key in column METADATA (`graft_hot_key`) —
+  * persisted in the parquet footer's Spark schema, so [[forSchema]] reads
+  * the mapping back from the view itself with no side file to lose or
+  * drift. [[fallbackKeys]] only serves views written before metadata
+  * tagging existed. */
 object HotTags {
-  val keys: Seq[String] = Seq("highway", "building", "landuse", "amenity",
-    "natural", "oneway", "name", "type", "addr:street", "addr:housenumber")
+  /** Legacy static list — matched against bare `t_<key>` columns of views
+    * materialized before the metadata-tagged layout. */
+  val fallbackKeys: Seq[String] = Seq("highway", "building", "landuse",
+    "amenity", "natural", "oneway", "name", "type", "addr:street",
+    "addr:housenumber")
+
+  /** Metadata key carrying the source tag key on a hot view column. */
+  val MetaKey = "graft_hot_key"
 
   def colName(key: String): String = "t_" + key.replaceAll("[^A-Za-z0-9]", "_")
 
   /** The materialization expression — EXACTLY the compiler's cold-path
     * `tagValue` (first match, null when absent), so hot and cold reads are
-    * equal by construction. */
+    * equal by construction. The never-null-tag-VALUE invariant the hot
+    * compile shape relies on (IsNotNull ⟺ key present) is enforced where
+    * the view is built: [[FilterEngine.materializeView]] drops null-valued
+    * tags from the array before any projection is derived. */
   def projection(key: String): Column =
     get(filter(col("tags"), t => t.getField("key") === key), lit(0))
       .getField("value")
 
-  /** key → column map restricted to what `schema` actually materialized —
-    * views written before the projection existed compile cold-path. */
+  /** Top-`n` tag keys by frequency in `view` (count desc, key asc for
+    * determinism), deduped on the sanitized column name (two keys that
+    * sanitize identically keep the more frequent one) — the derivation
+    * [[FilterEngine.materializeView]] projects. One aggregation job over
+    * the tags column; at 100 TB you'd run it on a row sample, which only
+    * has to get the top-N SET right, not exact counts. */
+  def deriveKeys(view: DataFrame, n: Int = 10): Seq[String] = {
+    val top = view.select(explode(col("tags")).as("t"))
+      .groupBy(col("t.key").as("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key")).limit(n * 2)
+      .collect().map(_.getString(0))
+    top.foldLeft(Vector.empty[String]) { (acc, k) =>
+      if (acc.size < n && !acc.exists(colName(_) == colName(k))) acc :+ k
+      else acc
+    }
+  }
+
+  /** key → column map read back from the view's schema: metadata-tagged
+    * columns are authoritative; a view with no tagged columns (pre-metadata
+    * layout) falls back to matching [[fallbackKeys]] against `t_<key>`
+    * column names; views with neither compile cold-path. */
   def forSchema(schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
-    val present = schema.fieldNames.toSet
-    keys.iterator.map(k => k -> colName(k)).filter(kv => present(kv._2)).toMap
+    val tagged = schema.fields.iterator
+      .filter(f => f.metadata.contains(MetaKey))
+      .map(f => f.metadata.getString(MetaKey) -> f.name).toMap
+    if (tagged.nonEmpty) tagged
+    else {
+      val present = schema.fieldNames.toSet
+      fallbackKeys.iterator.map(k => k -> colName(k))
+        .filter(kv => present(kv._2)).toMap
+    }
   }
 }
 
@@ -136,11 +178,23 @@ object FilterEngine {
     * engine assumes for repeated querying of a 100 TB docs table.
     * [[HotTags]] keys are additionally projected as pushdown-eligible
     * top-level columns. */
-  def materializeView(docs: DataFrame, path: String): Unit = {
+  def materializeView(docs: DataFrame, path: String, hotKeyCount: Int = 10): Unit = {
     val base = OsmView.deriveFast(docs) // single-pass decode: 1.8× the HOF derivation
-    HotTags.keys
-      .foldLeft(base)((df, k) =>
-        df.withColumn(HotTags.colName(k), HotTags.projection(k)))
+      // enforce the never-null-tag-VALUE invariant the hot compile shape
+      // depends on (t_<key>.isNotNull ⟺ key present): a source that carries
+      // null tag values must not silently diverge hot vs cold
+      .withColumn("tags", org.apache.spark.sql.functions.filter(col("tags"),
+        t => t.getField("value").isNotNull))
+    // hot keys come from THIS corpus's key-frequency stats (one extra
+    // aggregation pass at build time), tagged into column metadata so
+    // HotTags.forSchema reads the mapping back from the written view
+    val keys = HotTags.deriveKeys(base, hotKeyCount)
+    val hotCols = keys.map { k =>
+      val m = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(HotTags.MetaKey, k).build()
+      HotTags.projection(k).as(HotTags.colName(k), m)
+    }
+    base.select(col("*") +: hotCols: _*)
       .write.mode("overwrite").partitionBy("type").parquet(path)
   }
 

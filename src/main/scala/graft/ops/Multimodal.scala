@@ -187,7 +187,17 @@ object Multimodal {
       }
       if (w <= 0 || h <= 0 || depth != 8 || color != 0 || interlace != 0)
         return None
-      val raw = new Array[Byte](h * (1 + w))
+      // adversarial-dims bound (Long arithmetic — h*(1+w) overflows Int for
+      // crafted headers like w=2^30): the raw buffer must fit an Int index
+      // AND be reachable from the actual IDAT payload (stored-deflate
+      // expands ≤1032×: 1 byte per 258-byte match at 32K window, plus block
+      // framing) — a 2^30-pixel header over a 100-byte IDAT is a lie, not
+      // an image, and must return None instead of attempting a multi-GB
+      // allocation or throwing NegativeArraySizeException
+      val rawLen = h.toLong * (1L + w.toLong)
+      if (rawLen > Int.MaxValue - 8 || rawLen > idat.size().toLong * 1032L + 64L)
+        return None
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var off = 0
@@ -232,6 +242,51 @@ object Multimodal {
         y += 1
       }
       Some((w, h, px))
+    }
+
+    /** REAL feature extraction from decoded pixels: `g`×`g` mean-pooled
+      * intensity cells (g = √dim when dim is a perfect square, else `dim`
+      * equal strips of the flat pixel buffer), row-major cell order. Cell
+      * (cx, cy) covers x ∈ [cx·w/g, (cx+1)·w/g) — integer division, so the
+      * bounds are exactly recomputable by an integer-arithmetic oracle.
+      * Deterministic, pure JVM; the dimension matches the dense-embedding
+      * shape the similarity operators consume, so decode → feature →
+      * cosineDupPairs runs on REAL pixel data end-to-end. */
+    def gridPooledFeature(w: Int, h: Int, px: Array[Byte], dim: Int): Array[Float] = {
+      val g = math.sqrt(dim.toDouble).toInt
+      if (g * g == dim && w >= g && h >= g) {
+        val out = new Array[Float](dim)
+        var cy = 0
+        while (cy < g) {
+          val y0 = cy * h / g; val y1 = (cy + 1) * h / g
+          var cx = 0
+          while (cx < g) {
+            val x0 = cx * w / g; val x1 = (cx + 1) * w / g
+            var sum = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += px(y * w + x) & 0xff; x += 1 }
+              y += 1
+            }
+            out(cy * g + cx) = (sum.toDouble / ((x1 - x0).toLong * (y1 - y0))).toFloat
+            cx += 1
+          }
+          cy += 1
+        }
+        out
+      } else { // non-square dim or image smaller than the grid: strip pooling
+        val n = px.length
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          val p0 = i * n / dim; val p1 = math.max(p0 + 1, (i + 1) * n / dim)
+          var sum = 0L; var p = p0
+          while (p < math.min(p1, n)) { sum += px(p) & 0xff; p += 1 }
+          out(i) = if (p1 > p0 && p0 < n) (sum.toDouble / (math.min(p1, n) - p0)).toFloat else 0f
+          i += 1
+        }
+        out
+      }
     }
 
     /** Nearest-neighbor resample of a row-major grayscale buffer. */
@@ -300,18 +355,30 @@ object Multimodal {
     * Dimensions and format come from REAL header parsing
     * ([[HeaderCodecs]]) when the payload is a PNG or JPEG — including every
     * [[mediaTable]] payload, which is a valid [[PngSynth]] image, so the
-    * `multimodal_decode` gate is a full rows+schema+hash oracle check;
-    * non-image payloads fall back to the deterministic stub. */
+    * `multimodal_decode` gate is a full rows+schema+hash oracle check.
+    * Features are REAL for every grayscale PNG [[PngSynth.decodeGray]]
+    * reads: grid-pooled mean intensities over the decoded pixels
+    * ([[PngSynth.gridPooledFeature]]), oracle-checked against the fixture
+    * gradient arithmetic (`multimodal_features` gate) and fed end-to-end
+    * into the embedding ANN path (`multimodal_ann_dups` gate). Only
+    * codec-library-bound payloads (JPEG entropy data, non-image bytes)
+    * fall back to the deterministic [[StubCodecs]]. */
   def decodeImages(media: DataFrame, featureDim: Int = 16): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "media_ref", "bytes").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, fmt) = HeaderCodecs.imageDims(r.bytes)
-            .getOrElse(StubCodecs.decodeImage(r.bytes))
-          DecodedImage(r.doc_id, r.media_ref, w, h, fmt,
-            StubCodecs.extractFeature(r.bytes, featureDim))
+          PngSynth.decodeGray(r.bytes) match {
+            case Some((w, h, px)) =>
+              DecodedImage(r.doc_id, r.media_ref, w, h, "png",
+                PngSynth.gridPooledFeature(w, h, px, featureDim))
+            case None =>
+              val (w, h, fmt) = HeaderCodecs.imageDims(r.bytes)
+                .getOrElse(StubCodecs.decodeImage(r.bytes))
+              DecodedImage(r.doc_id, r.media_ref, w, h, fmt,
+                StubCodecs.extractFeature(r.bytes, featureDim))
+          }
         }
       }
   }

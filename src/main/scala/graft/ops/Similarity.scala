@@ -77,8 +77,12 @@ object Similarity {
     * bruteTopK re-executes the full O(N·Q) scan per call. */
   def recallAgainst(truth: DataFrame, approx: DataFrame): Double = {
     val t = truth.select("query_id", "vec_id")
-    approx.select("query_id", "vec_id")
-      .join(t, Seq("query_id", "vec_id"), "left_semi").count().toDouble / t.count()
+    val denom = t.count()
+    if (denom == 0) return 0.0 // empty truth: recall is vacuous, not NaN
+    // distinct: a duplicate-emitting approx path must not count a truth row
+    // twice (recall > 1.0 would mask the duplication instead of surfacing it)
+    approx.select("query_id", "vec_id").distinct()
+      .join(t, Seq("query_id", "vec_id"), "left_semi").count().toDouble / denom
   }
 
   /** First `probes` XOR masks in full signature hamming order (all 1-bit
@@ -176,14 +180,26 @@ object Similarity {
     cents
   }
 
-  /** IVF ANN top-k: corpus bucketed by nearest centroid; each query probes
-    * its `nProbe` best centroids and exact-ranks only those buckets. The
-    * probe list is computed as a sorted literal-centroid score array —
-    * all pure Columns, queries broadcast. */
+  /** IVF ANN top-k, fused train+probe: trains the coarse quantizer on
+    * `corpus` then probes — the one-shot convenience form. At scale,
+    * training (two Lloyd rounds = two full corpus scans + collects) is a
+    * SEPARATE job from probing: a pipeline issuing query batches should
+    * train once via [[ivfCentroids]] (persist the tiny nCentroids×dim
+    * array) and call the pretrained overload per batch — equivalence is
+    * spec-pinned (train-once/probe-twice == fused). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
-              seed: Long = 42L): DataFrame = {
-    val cents = ivfCentroids(corpus, dim, nCentroids, iters, seed)
+              seed: Long = 42L): DataFrame =
+    ivfTopK(corpus, queries, k,
+      ivfCentroids(corpus, dim, nCentroids, iters, seed), nProbe)
+
+  /** IVF ANN top-k against PRETRAINED centroids (see [[ivfCentroids]]):
+    * corpus bucketed by nearest centroid; each query probes its `nProbe`
+    * best centroids and exact-ranks only those buckets. The probe list is
+    * computed as a sorted literal-centroid score array — all pure Columns,
+    * queries broadcast; no training job runs. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cents: Array[Array[Double]], nProbe: Int): DataFrame = {
     val bucketed = corpus.withColumn("cid", assignCol(col("embedding"), cents))
     val scoreArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct(dotLit(col("q_emb"), c).as("s"), lit(-i).as("ni"))

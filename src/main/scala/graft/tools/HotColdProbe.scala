@@ -34,7 +34,7 @@ object HotColdProbe {
       DeterministicGen.distributedDocs(spark, n,
         parts = math.max(128, (n / 200000).toInt))
         .write.mode("overwrite").partitionBy("type").parquet(docsPath)
-    val viewPath = docsPath + "_view_h1"
+    val viewPath = docsPath + "_view_h2"
     if (!new java.io.File(viewPath + "/_SUCCESS").exists())
       FilterEngine.materializeView(spark.read.parquet(docsPath), viewPath)
     val view = spark.read.parquet(viewPath)

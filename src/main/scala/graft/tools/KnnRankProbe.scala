@@ -16,7 +16,7 @@ import graft.spatial.SpatialOps
 object KnnRankProbe {
   def main(args: Array[String]): Unit = {
     val viewPath = if (args.nonEmpty) args(0)
-      else "/root/repo/target/bench/docs_n600000_view_h1"
+      else "/root/repo/target/bench/docs_n600000_view_h2"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

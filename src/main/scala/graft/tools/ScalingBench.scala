@@ -76,7 +76,7 @@ object ScalingBench {
     // scan hits at 16 cores.
     val mode = if (args.length > 2) args(2) else "typed"
     val docsPath = s"/root/repo/target/bench/docs_dist_n$n"
-    val viewPath = docsPath + (if (mode == "hot") "_view_h1" else "_view")
+    val viewPath = docsPath + (if (mode == "hot") "_view_h2" else "_view")
     if (!new java.io.File(docsPath + "/_SUCCESS").exists())
       DeterministicGen.distributedDocs(spark, n,
         parts = math.max(128, (n / 200000).toInt)) // ~200k docs per gen task

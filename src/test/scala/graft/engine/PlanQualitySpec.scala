@@ -76,6 +76,37 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("hot keys are derived from the corpus, not a static list (foreign-key fixture)") {
+    // a corpus whose tag vocabulary shares NOTHING with the legacy OSM list:
+    // rewrite every highway=/name= tag to zzcustom=/qqname= in the spans
+    val docs = DeterministicGen.docsDF(spark, 0.001)
+      .withColumn("spans", transform(col("spans"), s =>
+        struct(
+          s.getField("kind").as("kind"),
+          regexp_replace(regexp_replace(s.getField("text"),
+            "^highway=", "zzcustom="), "^name=", "qqname=").as("text"),
+          s.getField("media_ref").as("media_ref"),
+          s.getField("offset").as("offset"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-view-foreign").toString
+    FilterEngine.materializeView(docs, dir)
+    val view = spark.read.parquet(dir)
+    val hot = HotTags.forSchema(view.schema)
+    assert(hot.contains("zzcustom") && hot.contains("qqname"),
+      s"frequency derivation missed the corpus's own hot keys: $hot")
+    assert(!hot.contains("highway") && !hot.contains("name"),
+      s"stale static keys leaked into the derived map: $hot")
+    // and the derived column actually carries the pushdown
+    val p = plan(FilterEngine.filterView(view, "zzcustom == residential"))
+    assert(p.contains("IsNotNull(t_zzcustom)") &&
+      p.contains("EqualTo(t_zzcustom,residential)"),
+      s"derived hot key not pushed in:\n$p")
+    // semantic pin on the foreign key, hot vs cold
+    val hotDf = FilterEngine.filterView(view, "zzcustom =~ 'prim'").select("doc_id")
+    val coldDf = view.filter(Compiler.compileEffective(Parser.parse("zzcustom =~ 'prim'")))
+      .select("doc_id")
+    assert(hotDf.exceptAll(coldDf).isEmpty && coldDf.exceptAll(hotDf).isEmpty)
+  }
+
   test("whole-stage codegen covers the scalar filter path") {
     val view = spark.read.parquet(viewPath)
     val p = plan(FilterEngine.filterView(view, "@version >= 2 and @id != 7"))

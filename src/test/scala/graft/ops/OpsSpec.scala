@@ -263,6 +263,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.recallAgainst(truth, approx) === 0.75)
     assert(Similarity.recallAgainst(truth, truth) === 1.0)
     assert(Similarity.recallAgainst(truth, truth.limit(0)) === 0.0)
+    // a duplicate-emitting approx path must not count truth rows twice
+    // (recall could otherwise exceed 1.0 and mask the duplication)
+    assert(Similarity.recallAgainst(truth, approx.unionAll(approx)) === 0.75)
+    assert(Similarity.recallAgainst(truth, truth.unionAll(truth)) === 1.0)
+    // empty truth: defined as 0.0, not NaN
+    assert(Similarity.recallAgainst(truth.limit(0), approx) === 0.0)
+  }
+
+  test("IVF pretrained probe equals the fused train+probe path (train once, probe twice)") {
+    val queries = embeddings.limit(10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rn"))).toSet
+    val fused = key(Similarity.ivfTopK(embeddings, queries, 10, dim = 64,
+      nCentroids = 8, nProbe = 3))
+    val cents = Similarity.ivfCentroids(embeddings, dim = 64, nCentroids = 8)
+    val probe1 = key(Similarity.ivfTopK(embeddings, queries, 10, cents, nProbe = 3))
+    val probe2 = key(Similarity.ivfTopK(embeddings, queries, 10, cents, nProbe = 3))
+    assert(probe1 === fused, "pretrained probe diverges from fused path")
+    assert(probe2 === fused, "second probe against the same centroids diverges")
   }
 
   test("IVF ANN: nProbe=all is exact; small nProbe keeps useful recall") {
@@ -514,6 +535,53 @@ class OpsSpec extends AnyFunSuite {
     // resized real image: spot-check one pixel against the source gradient
     val Some((_, _, rp)) = Multimodal.PngSynth.decodeGray(out("media://5").bytes)
     assert((rp(0) & 0xff) === ((0 * 31 + 0 * 17 + 5) & 0xff))
+  }
+
+  test("grid-pooled features are real pixel means; stub only for non-decodable payloads") {
+    // kernel check against driver-side arithmetic on a 20×24 gradient image
+    val (w, h, seed) = (20, 24, 7)
+    val Some((_, _, px)) = Multimodal.PngSynth.decodeGray(Multimodal.PngSynth.png(w, h, seed))
+    val f = Multimodal.PngSynth.gridPooledFeature(w, h, px, 16)
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val (x0, x1) = (cx * w / 4, (cx + 1) * w / 4)
+      val (y0, y1) = (cy * h / 4, (cy + 1) * h / 4)
+      val vals = for (y <- y0 until y1; x <- x0 until x1)
+        yield (x * 31 + y * 17 + seed) & 0xff
+      val expected = (vals.map(_.toLong).sum.toDouble / vals.size).toFloat
+      assert(f(cy * 4 + cx) === expected, s"cell ($cx,$cy)")
+    }
+    // non-square dim falls back to strip pooling over the flat buffer
+    val f5 = Multimodal.PngSynth.gridPooledFeature(w, h, px, 5)
+    assert(f5.length === 5 && f5.forall(v => v >= 0f && v <= 255f))
+    // through the operator: real feature for a PngSynth payload, stub
+    // (hash-random) for an arbitrary blob — and the two are distinguishable
+    // because the real one equals the recomputed mean
+    val media = Seq(("d1", "media://7", Multimodal.PngSynth.png(w, h, seed)),
+      ("d2", "media://blob", Array.fill[Byte](64)(9)))
+      .toDF("doc_id", "media_ref", "bytes")
+    val out = Multimodal.decodeImages(media, featureDim = 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out("d1").feature.toSeq === f.toSeq, "operator feature != kernel feature")
+    assert(out("d2").feature.toSeq ===
+      Multimodal.StubCodecs.extractFeature(Array.fill[Byte](64)(9), 16).toSeq)
+  }
+
+  test("decodeGray bounds hostile IHDR dimensions (None, no allocation attempt)") {
+    val own = Multimodal.PngSynth.png(4, 4, 1)
+    // width patched to 2^30 (offset 16-19): h*(1+w) overflows Int sizing
+    val evilW = own.clone()
+    evilW(16) = 0x40.toByte; evilW(17) = 0; evilW(18) = 0; evilW(19) = 0
+    assert(Multimodal.PngSynth.decodeGray(evilW) === None)
+    // height patched to 2^30
+    val evilH = own.clone()
+    evilH(20) = 0x40.toByte; evilH(21) = 0; evilH(22) = 0; evilH(23) = 0
+    assert(Multimodal.PngSynth.decodeGray(evilH) === None)
+    // dims that FIT an Int but claim ~1.8 GB from a few-byte IDAT: the
+    // inflate-expansion bound (≤1032×) rejects without allocating
+    val evilBig = own.clone()
+    evilBig(16) = 0; evilBig(17) = 0; evilBig(18) = 0xea.toByte; evilBig(19) = 0x60.toByte // w=60000
+    evilBig(20) = 0; evilBig(21) = 0; evilBig(22) = 0x75.toByte; evilBig(23) = 0x30.toByte // h=30000
+    assert(Multimodal.PngSynth.decodeGray(evilBig) === None)
   }
 
   test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {

@@ -60,6 +60,58 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("batch sessionization: hand-computed splits, and equality with the streaming path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: Long, user: Long, v: Double) =
+      EventStreams.EventRow(id, new Timestamp(t), user, "click", v)
+    val gap = 1000L * 60
+    val base = 1700000000000L
+    // hand-computed: user 1 splits into two sessions (pause > gap, fed out
+    // of order — the kernel sorts), user 2 has one singleton
+    val rows = Seq(ev(4, base + gap * 3, 1, 3.0), ev(1, base, 1, 1.0),
+      ev(2, base + 1000, 1, 2.0), ev(3, base + 2000, 2, 5.0))
+    val got = EventStreams.sessionizeBatch(spark.createDataset(rows), gap)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(got.length === 3)
+    assert(got(0).user_id === 1 && got(0).n_events === 2 &&
+      got(0).total_value === 3.0 && got(0).session_end.getTime === base + 1000)
+    assert(got(1).user_id === 1 && got(1).n_events === 1 && got(1).total_value === 3.0)
+    assert(got(2).user_id === 2 && got(2).n_events === 1 && got(2).total_value === 5.0)
+
+    // equality with the streaming path over the real events table: same
+    // kernel, so sessions must match field-for-field (values rounded — the
+    // two paths may fold the double sum from different chunk groupings)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.EventRow]
+      .collect().sortBy(_.ts.getTime)
+    val gap8h = 8L * 3600 * 1000
+    def key(ss: Seq[EventStreams.UserSession]) = ss.map(s =>
+      (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events,
+        math.round(s.total_value * 1e6))).toSet
+    val batch = EventStreams.sessionizeBatch(
+      spark.createDataset(events.toSeq), gap8h).collect()
+
+    val stream = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.sessionize(
+      stream.toDS().withWatermark("ts", "0 seconds").as[EventStreams.EventRow], gap8h)
+      .writeStream.format("memory").queryName("sess_batch_eq")
+      .outputMode("append").start()
+    events.grouped(250).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    // two far-future sentinels: advance the watermark, then fire timeouts
+    val far = events.last.ts.getTime + 30L * 24 * 3600 * 1000
+    stream.addData(EventStreams.EventRow(-1, new Timestamp(far), -777L, "s", 0.0))
+    q.processAllAvailable()
+    stream.addData(EventStreams.EventRow(-2, new Timestamp(far + gap8h * 3), -778L, "s", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_batch_eq").as[EventStreams.UserSession]
+      .collect().filter(_.user_id >= 0)
+    assert(streamed.nonEmpty && key(streamed.toSeq) === key(batch.toSeq),
+      s"streaming (${streamed.length}) vs batch (${batch.length}) sessions diverge")
+  }
+
   test("sessionization closes sessions on the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
