@@ -50,8 +50,12 @@ object HotTags {
     * the tags column; at 100 TB you'd run it on a row sample, which only
     * has to get the top-N SET right, not exact counts. */
   def deriveKeys(view: DataFrame, n: Int = 10): Seq[String] = {
-    val top = view.select(explode(col("tags")).as("t"))
-      .groupBy(col("t.key").as("key")).agg(count(lit(1)).as("cnt"))
+    // explode KEYS only (not the (key, value) structs): the shuffle ships
+    // one short string per tag, and map-side partial aggregation collapses
+    // it to (distinct keys × partitions) rows before the exchange
+    val top = view
+      .select(explode(transform(col("tags"), t => t.getField("key"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("key")).limit(n * 2)
       .collect().map(_.getString(0))
     top.foldLeft(Vector.empty[String]) { (acc, k) =>
@@ -187,8 +191,15 @@ object FilterEngine {
         t => t.getField("value").isNotNull))
     // hot keys come from THIS corpus's key-frequency stats (one extra
     // aggregation pass at build time), tagged into column metadata so
-    // HotTags.forSchema reads the mapping back from the written view
-    val keys = HotTags.deriveKeys(base, hotKeyCount)
+    // HotTags.forSchema reads the mapping back from the written view. The
+    // scan decodes ONLY the tags field (single-field codegen'd pass via
+    // derivePruned), not the full 14-field derivation — at 24M rows the
+    // full-decode + struct-explode variant ran the 8 GB driver out of
+    // execution memory; this shape is a key-only explode over one pass
+    val tagsOnly = OsmView.derivePruned(docs).select("tags")
+      .withColumn("tags", org.apache.spark.sql.functions.filter(col("tags"),
+        t => t.getField("value").isNotNull))
+    val keys = HotTags.deriveKeys(tagsOnly, hotKeyCount)
     val hotCols = keys.map { k =>
       val m = new org.apache.spark.sql.types.MetadataBuilder()
         .putString(HotTags.MetaKey, k).build()

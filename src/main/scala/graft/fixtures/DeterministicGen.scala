@@ -167,6 +167,26 @@ object DeterministicGen {
             .cast("float")).as("embedding"))
   }
 
+  /** Deterministic CLUSTERED embedding corpus: a mixture of `nClusters`
+    * hash-derived centers with uniform noise of half-width `noise` per
+    * coordinate — the realistic-corpus recall fixture (real embedding
+    * spaces are clustered; the uniform [[embeddingsDF]] is the structureless
+    * WORST case for any bucketing ANN, so recall published on it alone
+    * understates production behavior). Same schema as the driver's
+    * embeddings table; columnar on executors. */
+  def clusteredEmbeddingsDF(spark: SparkSession, n: Long, dim: Int,
+                            nClusters: Int = 20, noise: Double = 0.15): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cid = pmod(xxhash64(col("id"), lit(-7)), lit(nClusters.toLong))
+    spark.range(0, n, 1, math.max(32, (n / 250000).toInt))
+      .select(col("id").as("vec_id"), cid.as("cid"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i => (
+          (pmod(xxhash64(col("cid"), i, lit(11L)), lit(2001L)) - 1000L) / 1000.0
+            + (pmod(xxhash64(col("vec_id"), i, lit(13L)), lit(2001L)) - 1000L)
+            / 1000.0 * noise).cast("float")).as("embedding"))
+  }
+
   /** Deterministic distributed point corpus for spatial scaling runs:
     * `n` rows (doc_id, lat, lon), 70% clustered around the [[hotspots]]
     * (the urban-skew shape the kNN/PIP operators must survive), 30%

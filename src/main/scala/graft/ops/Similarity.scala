@@ -6,9 +6,22 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`): codegen'd
   * [[graft.exprs.VectorDot]] dot products, window top-k.
-  * Baseline: brute-force cosine top-k. Scale path: random-hyperplane LSH
-  * bucketing so each query only scans its bucket's candidates; exact re-rank
-  * inside the bucket; deterministic hyperplanes from a seeded generator. */
+  * Baseline: brute-force cosine top-k. Scale paths: random-hyperplane LSH
+  * bucketing and IVF coarse quantization; exact re-rank inside candidate
+  * buckets; deterministic seeds throughout.
+  *
+  * WHICH ANN TO DEFAULT TO: **IVF** ([[ivfTopK]]). Measured recall@10 at
+  * comparable scanned fractions (tools.RecallProbe, BASELINE.md round-5
+  * table, both the worst-case uniform fixture and a clustered
+  * mixture-of-centers fixture): IVF's data-trained centroids track corpus
+  * structure, while data-independent hyperplanes cannot — LSH's recall at
+  * production knobs is far below IVF's on both fixtures. Use [[lshTopK]]
+  * when training a quantizer is impossible (true streaming one-pass) or as
+  * the signature machinery for near-dup pair detection
+  * ([[cosineDupPairs]]), where exact-signature collision of duplicates is
+  * the property being used, not approximate recall. For query batches,
+  * train once with [[ivfCentroids]] and probe via the pretrained
+  * [[ivfTopK]] overload. */
 object Similarity {
 
   /** Codegen'd dot product (semantics identical to [[dotHof]], which stays

@@ -61,4 +61,8 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"[OK] {name} ({exp.num_rows} rows)")
         ok += 1
-print(f"\n{ok} ok, {fail} failed, {len([q for q in glob.glob(out_dir+'/*') if not q.endswith('.json')]) - len(oracle)} rows-only")
+rows_only = len([q for q in glob.glob(out_dir+'/*') if not q.endswith('.json')]) - len(oracle)
+print(f"\n{ok} ok, {fail} failed, {rows_only} rows-only")
+# machine-citable artifact line: BASELINE.md quotes THIS, not a hand-bumped
+# count (the r4 prose drifted twice when gates were added)
+print(f"GATES: {ok}/{ok+fail} hash-verified, {rows_only} rows-only")
