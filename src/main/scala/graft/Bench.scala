@@ -310,10 +310,14 @@ object Bench {
     // against: measurement noise moves both rows together; a real
     // regression moves docs/s at every size.
     for (n <- Seq(50000L, 200000L)) {
-      val p = s"/root/repo/target/bench/hvdocs_dist_n${n}_vinf"
+      // partition count FIXED (not cpus-derived) and encoded in the path:
+      // the fixture is cached across runs, so a cpus-dependent layout would
+      // make the 200k/50k scaling ratio depend on which run wrote it first
+      val parts = 64
+      val p = s"/root/repo/target/bench/hvdocs_dist_n${n}_vinf_p$parts"
       if (!new java.io.File(p + "/_SUCCESS").exists())
         DeterministicGen.highVocabDocsDF(spark, n, vocab = Long.MaxValue)
-          .repartition(math.max(cpus.toInt * 2, (n / 25000).toInt))
+          .repartition(parts)
           .write.mode("overwrite").parquet(p)
       val d = spark.read.parquet(p).cache()
       d.count()

@@ -581,6 +581,24 @@ object SparkEntry {
          |FROM m a JOIN m b ON a.mid = b.mid AND a.key < b.key
          |ORDER BY key_a, key_b""".stripMargin,
 
+    // re-derives the audio features from the WavSynth test-tone arithmetic:
+    // exact first-window Σ|sample| and exact global sign-transition count
+    "multimodal_audio" ->
+      s"""SELECT doc_id, media_ref, CAST(8000 AS INT) AS sample_rate,
+         |  CAST(n AS INT) AS n_samples,
+         |  CAST(list_sum(list_transform(generate_series(0, n//8 - 1), i ->
+         |    abs(((i*37 + mid*101) % 4001) - 2000))) AS BIGINT) AS abs0,
+         |  CAST(len(list_filter(generate_series(1, n - 1), i ->
+         |    ((((i-1)*37 + mid*101) % 4001) - 2000 < 0)
+         |    != (((i*37 + mid*101) % 4001) - 2000 < 0))) AS BIGINT) AS zc
+         |FROM (
+         |  SELECT concat(substr($typExpr, 1, 1), CAST($idExpr AS VARCHAR)) AS doc_id,
+         |         concat('media://', CAST(o_orderkey % 1000 AS VARCHAR)) AS media_ref,
+         |         o_orderkey % 1000 AS mid,
+         |         400 + (o_orderkey % 1000 * 11) % 800 AS n
+         |  FROM orders WHERE o_orderkey % 8 = 0) m
+         |ORDER BY doc_id, media_ref""".stripMargin,
+
     "multimodal_resize" ->
       s"""SELECT doc_id, media_ref, CAST(12 AS INT) AS width, CAST(10 AS INT) AS height,
          |       TRUE AS real_decode,

@@ -548,6 +548,26 @@ object Queries {
         .filter(col("mid_a") === col("mid_b"))
         .select("key_a", "key_b").orderBy("key_a", "key_b")
     },
+    // the REAL audio path: WavSynth PCM16 payloads → chunk-walking decode →
+    // windowed mean-|amplitude| + zero-crossing features. Emitted values
+    // are the EXACT integer Σ|sample| of the first window (recovered from
+    // the float mean like multimodal_features does) and the exact global
+    // zero-crossing count — both re-derived by the oracle from the
+    // test-tone arithmetic sample(i) = ((i·37 + mid·101) mod 4001) − 2000,
+    // so a bug anywhere in the encoder/decoder/feature chain breaks rows
+    "multimodal_audio" -> { (spark, sfDir) =>
+      val docs = TpchOsm.docs(spark, sfDir)
+      val audio = graft.ops.Multimodal.audioTable(graft.model.OsmView.derive(docs))
+      val feats = graft.ops.Multimodal.decodeAudio(audio, windows = 8).toDF()
+      val w0len = floor(col("n_samples") / 8).cast("long")
+      feats.select(col("doc_id"), col("media_ref"),
+        col("sample_rate"), col("n_samples"),
+        round(element_at(col("mean_abs"), 1).cast("double") * w0len)
+          .cast("long").as("abs0"),
+        aggregate(col("zero_crossings"), lit(0), (a, x) => a + x)
+          .cast("long").as("zc"))
+        .orderBy("doc_id", "media_ref")
+    },
     "multimodal_resize" -> { (spark, sfDir) =>
       // the FULL real-pixel chain: PngSynth encode (mediaTable) → decode →
       // nearest-neighbor resample → re-encode → decode again for the

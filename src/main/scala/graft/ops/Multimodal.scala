@@ -308,6 +308,119 @@ object Multimodal {
     }
   }
 
+  /** Minimal deterministic WAV (RIFF/PCM16 mono) ENCODER/DECODER pair, pure
+    * JVM — the audio analog of [[PngSynth]]: fixture payloads are byte-valid
+    * WAV files any reader parses, the decoder reads foreign PCM16-mono WAVs
+    * (chunk-walking, adversarial-length-safe), and the feature kernel
+    * (windowed mean-|amplitude| + zero-crossing counts) runs on REAL
+    * samples. Only compressed codecs (MP3/AAC/Opus) stay behind
+    * [[StubCodecs]]; swapping in a codec library changes no plumbing. */
+  object WavSynth {
+    private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    private def rd16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def rd32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** Complete RIFF/WAVE file: fmt (PCM, mono, 16-bit LE) + data. */
+    def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0 && samples.nonEmpty, "empty audio")
+      val dataLen = samples.length * 2
+      val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+      out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataLen))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+      out.write(le16(1)) // PCM
+      out.write(le16(1)) // mono
+      out.write(le32(sampleRate))
+      out.write(le32(sampleRate * 2)) // byte rate
+      out.write(le16(2)) // block align
+      out.write(le16(16)) // bits per sample
+      out.write("data".getBytes("US-ASCII")); out.write(le32(dataLen))
+      samples.foreach(s => out.write(le16(s & 0xffff)))
+      out.toByteArray
+    }
+
+    /** (sampleRate, samples) for a PCM16-mono WAV; None for anything else —
+      * including hostile chunk lengths (all bounds in Long, declared data
+      * size clamped to the bytes actually present). */
+    def decodePcm16(b: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (b.length < 44 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      var i = 12
+      var rate = -1; var ok = false
+      var data: Array[Short] = null
+      while (i + 8 <= b.length) {
+        val tag = new String(b, i, 4, "US-ASCII")
+        val len = rd32(b, i + 4)
+        if (len < 0 || len > b.length - i - 8) {
+          // hostile/truncated declared length: a data chunk may still be
+          // read up to the bytes present; anything else is malformed
+          if (tag != "data") return None
+        }
+        val avail = math.min(if (len < 0) 0 else len, b.length - i - 8)
+        tag match {
+          case "fmt " if avail >= 16 =>
+            val fmt = rd16(b, i + 8); val ch = rd16(b, i + 10)
+            val bits = rd16(b, i + 22)
+            rate = rd32(b, i + 12)
+            ok = fmt == 1 && ch == 1 && bits == 16 && rate > 0
+          case "data" =>
+            val n = avail / 2
+            val s = new Array[Short](n)
+            var j = 0
+            while (j < n) { s(j) = rd16(b, i + 8 + 2 * j).toShort; j += 1 }
+            data = s
+          case _ => ()
+        }
+        i += 8 + avail + (avail & 1) // chunks are word-aligned
+      }
+      if (ok && data != null && data.nonEmpty) Some((rate, data)) else None
+    }
+
+    /** Deterministic test-tone WAV: sample(i) = ((i·37 + seed·101) mod
+      * 4001) − 2000 — integer arithmetic a SQL oracle recomputes exactly. */
+    def wav(nSamples: Int, seed: Int, sampleRate: Int = 8000): Array[Byte] = {
+      val s = new Array[Short](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        s(i) = (((i.toLong * 37 + seed.toLong * 101) % 4001) - 2000).toShort
+        i += 1
+      }
+      encodePcm16(sampleRate, s)
+    }
+
+    /** REAL audio features over decoded samples, `w` equal windows (integer
+      * bounds i·n/w, like the image grid): per window the mean ABSOLUTE
+      * amplitude (loudness envelope) and the zero-crossing count (sign
+      * changes vs the previous sample, counted at indices ≥ 1 inside the
+      * window) — the classic cheap audio descriptors, exactly
+      * SQL-recomputable. */
+    def audioFeatures(samples: Array[Short], w: Int): (Array[Float], Array[Int]) = {
+      val n = samples.length
+      val meanAbs = new Array[Float](w)
+      val zc = new Array[Int](w)
+      var k = 0
+      while (k < w) {
+        val x0 = k * n / w; val x1 = (k + 1) * n / w
+        var sum = 0L; var cross = 0; var i = x0
+        while (i < x1) {
+          sum += math.abs(samples(i).toInt)
+          if (i >= 1 && (samples(i - 1) < 0) != (samples(i) < 0)) cross += 1
+          i += 1
+        }
+        meanAbs(k) = if (x1 > x0) (sum.toDouble / (x1 - x0)).toFloat else 0f
+        zc(k) = cross
+        k += 1
+      }
+      (meanAbs, zc)
+    }
+  }
+
   /** STUB codec boundary: deterministic fakes derived from the payload
     * bytes. Replace with real imageio/ffmpeg calls in production. */
   object StubCodecs {
@@ -323,6 +436,12 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], every: Int): Seq[Long] = {
       val n = math.max(1, bytes.length / every)
       (0 until n).map(i => java.util.Arrays.hashCode(bytes).toLong * 31 + i)
+    }
+    def decodeAudio(bytes: Array[Byte], windows: Int): (Int, Int, Array[Float], Array[Int]) = {
+      val rng = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong)
+      (8000, 1 + rng.nextInt(8000),
+        Array.fill(windows)(rng.nextFloat() * 2000),
+        Array.fill(windows)(rng.nextInt(50)))
     }
   }
 
@@ -410,6 +529,48 @@ object Multimodal {
               val seed = java.util.Arrays.hashCode(r.bytes)
               ResizedImage(r.doc_id, r.media_ref, targetW, targetH,
                 real_decode = false, PngSynth.png(targetW, targetH, seed & 0xff))
+          }
+        }
+      }
+  }
+
+  final case class DecodedAudio(doc_id: String, media_ref: String,
+                                sample_rate: Int, n_samples: Int,
+                                mean_abs: Array[Float], zero_crossings: Array[Int])
+
+  /** Materializes an AUDIO media table from the docs view: one row per
+    * media span, payload a byte-valid [[WavSynth]] PCM16 WAV whose length
+    * derives from the ref's trailing digits by SQL-recomputable arithmetic
+    *   mid = last ≤6 decimal digits;  n_samples = 400 + (mid·11) mod 800
+    * and whose samples follow the [[WavSynth.wav]] test-tone formula — the
+    * audio analog of [[mediaTable]]: the decode gate re-derives everything
+    * from the BYTES, so the codec pair cannot cheat. */
+  def audioTable(view: DataFrame): DataFrame = {
+    val midStr = regexp_extract(col("media_ref"), "([0-9]{1,6})$", 1)
+    val mid = when(midStr === "", lit(0)).otherwise(midStr.cast("int"))
+    val wavUdf = udf { (n: Int, seed: Int) => WavSynth.wav(n, seed) }
+    view.select(col("doc_id"), explode(col("media_refs")).as("media_ref"))
+      .withColumn("bytes", wavUdf(lit(400) + pmod(mid * 11, lit(800)), mid))
+  }
+
+  /** Batch audio decode + feature extraction, partition-wise (the audio
+    * sibling of [[decodeImages]]): REAL sample decode + windowed
+    * mean-|amplitude| / zero-crossing features for any PCM16-mono WAV
+    * ([[WavSynth.decodePcm16]] — including foreign encoders' files);
+    * compressed formats fall back to the deterministic stub. */
+  def decodeAudio(media: DataFrame, windows: Int = 8): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_ref", "bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          WavSynth.decodePcm16(r.bytes) match {
+            case Some((rate, samples)) =>
+              val (meanAbs, zc) = WavSynth.audioFeatures(samples, windows)
+              DecodedAudio(r.doc_id, r.media_ref, rate, samples.length, meanAbs, zc)
+            case None =>
+              val (rate, n, meanAbs, zc) = StubCodecs.decodeAudio(r.bytes, windows)
+              DecodedAudio(r.doc_id, r.media_ref, rate, n, meanAbs, zc)
           }
         }
       }

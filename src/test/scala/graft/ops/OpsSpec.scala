@@ -584,6 +584,52 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.PngSynth.decodeGray(evilBig) === None)
   }
 
+  test("WAV codec pair: round-trip, foreign chunk layout, hostile lengths, real features") {
+    import Multimodal.WavSynth
+    // round-trip
+    val tone = Array.tabulate(1000)(i => (((i * 37 + 707 * 101) % 4001) - 2000).toShort)
+    val Some((rate, got)) = WavSynth.decodePcm16(WavSynth.encodePcm16(8000, tone))
+    assert(rate === 8000 && got.toSeq === tone.toSeq)
+    // foreign layout: a LIST chunk before fmt, odd-length chunk padding
+    val own = WavSynth.encodePcm16(8000, tone)
+    val extra = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3-byte chunk + pad
+    val foreign = own.take(12) ++ extra ++ own.drop(12)
+    // RIFF size field now stale — the decoder walks chunks, not the header size
+    val Some((_, got2)) = WavSynth.decodePcm16(foreign)
+    assert(got2.toSeq === tone.toSeq, "decoder must skip unknown chunks with odd padding")
+    // hostile: fmt chunk claiming a huge length
+    val evil = own.clone()
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = 0x7f // fmt len = Int.Max-ish
+    assert(WavSynth.decodePcm16(evil) === None)
+    // truncated data chunk: decode what is present, not the declared length
+    val truncated = own.dropRight(100)
+    val Some((_, got3)) = WavSynth.decodePcm16(truncated)
+    assert(got3.length === tone.length - 50)
+    // stereo / non-PCM rejected
+    val stereo = own.clone(); stereo(22) = 2
+    assert(WavSynth.decodePcm16(stereo) === None)
+    // features: exact vs driver-side recomputation, window bounds i*n/w
+    val (meanAbs, zc) = WavSynth.audioFeatures(tone, 8)
+    for (k <- 0 until 8) {
+      val (x0, x1) = (k * 1000 / 8, (k + 1) * 1000 / 8)
+      val expAbs = (x0 until x1).map(i => math.abs(tone(i).toInt).toLong).sum
+      assert(meanAbs(k) === (expAbs.toDouble / (x1 - x0)).toFloat, s"meanAbs($k)")
+      val expZc = (math.max(x0, 1) until x1)
+        .count(i => (tone(i - 1) < 0) != (tone(i) < 0))
+      assert(zc(k) === expZc, s"zc($k)")
+    }
+    // through the operator: real decode for WAV payloads, stub for blobs
+    val media = Seq(("d1", "media://707", WavSynth.wav(1000, 707)),
+      ("d2", "media://blob", Array.fill[Byte](64)(3)))
+      .toDF("doc_id", "media_ref", "bytes")
+    val out = Multimodal.decodeAudio(media, windows = 8).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out("d1").n_samples === 1000 && out("d1").mean_abs.toSeq === meanAbs.toSeq &&
+      out("d1").zero_crossings.toSeq === zc.toSeq)
+    val stub = Multimodal.StubCodecs.decodeAudio(Array.fill[Byte](64)(3), 8)
+    assert(out("d2").n_samples === stub._2 && out("d2").mean_abs.toSeq === stub._3.toSeq)
+  }
+
   test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {
     val docs = graft.fixtures.DeterministicGen.docsDF(spark, 0.001)
     val view = graft.model.OsmView.derive(docs)
