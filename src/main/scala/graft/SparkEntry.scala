@@ -599,6 +599,23 @@ object SparkEntry {
          |  FROM orders WHERE o_orderkey % 8 = 0) m
          |ORDER BY doc_id, media_ref""".stripMargin,
 
+    // every-2nd frame of the 3+(mid%6)-frame container; each kept frame's
+    // dims and (0,0) pixel recomputed from the generator arithmetic
+    "multimodal_frames" ->
+      s"""SELECT doc_id, media_ref, CAST(u.f AS INT) AS frame_idx,
+         |  CAST(16 + (mid * 7) % 48 AS INT) AS width,
+         |  CAST(16 + (mid * 13) % 48 AS INT) AS height,
+         |  TRUE AS real_decode,
+         |  CAST((mid + 7 * u.f) % 256 AS INT) AS p00
+         |FROM (
+         |  SELECT concat(substr($typExpr, 1, 1), CAST($idExpr AS VARCHAR)) AS doc_id,
+         |         concat('media://', CAST(o_orderkey % 1000 AS VARCHAR)) AS media_ref,
+         |         o_orderkey % 1000 AS mid,
+         |         3 + o_orderkey % 1000 % 6 AS n
+         |  FROM orders WHERE o_orderkey % 8 = 0) m,
+         |  UNNEST(generate_series(0, n - 1, 2)) AS u(f)
+         |ORDER BY doc_id, media_ref, frame_idx""".stripMargin,
+
     "multimodal_resize" ->
       s"""SELECT doc_id, media_ref, CAST(12 AS INT) AS width, CAST(10 AS INT) AS height,
          |       TRUE AS real_decode,

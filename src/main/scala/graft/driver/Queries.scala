@@ -568,6 +568,17 @@ object Queries {
           .cast("long").as("zc"))
         .orderBy("doc_id", "media_ref")
     },
+    // REAL frame sampling: GpvSynth container parse → every-2nd frame →
+    // real PNG decode per frame; dims + the (0,0) pixel re-derived by the
+    // oracle from the per-frame seed arithmetic (mid + 7·frame) mod 256
+    "multimodal_frames" -> { (spark, sfDir) =>
+      val docs = TpchOsm.docs(spark, sfDir)
+      val video = graft.ops.Multimodal.videoTable(graft.model.OsmView.derive(docs))
+      graft.ops.Multimodal.sampleFramesReal(video, every = 2).toDF()
+        .select("doc_id", "media_ref", "frame_idx", "width", "height",
+          "real_decode", "p00")
+        .orderBy("doc_id", "media_ref", "frame_idx")
+    },
     "multimodal_resize" -> { (spark, sfDir) =>
       // the FULL real-pixel chain: PngSynth encode (mediaTable) → decode →
       // nearest-neighbor resample → re-encode → decode again for the

@@ -576,6 +576,106 @@ object Multimodal {
       }
   }
 
+  /** Minimal packed-video container, pure JVM: magic "GPNGV1" + BE32 frame
+    * count, then length-prefixed [[PngSynth]] grayscale-PNG frames. Real
+    * video CONTAINERS/codecs (MP4/H.264…) are codec-library-bound and stay
+    * behind [[StubCodecs]]; this container is the honest stand-in whose
+    * byte layout a decoder must actually parse — and every FRAME decode is
+    * the real PNG decoder, so frame sampling runs on real pixels. */
+  object GpvSynth {
+    private val Magic = "GPNGV1".getBytes("US-ASCII")
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    private def rd32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Magic); out.write(be32(frames.length))
+      frames.foreach { f => out.write(be32(f.length)); out.write(f, 0, f.length) }
+      out.toByteArray
+    }
+
+    /** Frame payloads in order; None unless the container parses exactly
+      * (all lengths in bounds — hostile counts/lengths rejected, Long
+      * arithmetic throughout). */
+    def decode(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+      if (b.length < 10 || !b.take(6).sameElements(Magic)) return None
+      val n = rd32(b, 6)
+      if (n < 0 || n > b.length / 8) return None // each frame costs ≥ 4 bytes + PNG
+      val frames = Vector.newBuilder[Array[Byte]]
+      var i = 10L
+      var k = 0
+      while (k < n) {
+        if (i + 4 > b.length) return None
+        val len = rd32(b, i.toInt)
+        if (len < 0 || i + 4 + len > b.length) return None
+        frames += java.util.Arrays.copyOfRange(b, i.toInt + 4, i.toInt + 4 + len)
+        i += 4 + len
+        k += 1
+      }
+      if (i != b.length) return None
+      Some(frames.result())
+    }
+
+    /** Deterministic video: `nFrames` gradient frames, frame f seeded
+      * seed + 7f (so frame pixels are SQL-recomputable per index). */
+    def video(nFrames: Int, width: Int, height: Int, seed: Int): Array[Byte] =
+      encode((0 until nFrames).map(f => PngSynth.png(width, height, (seed + 7 * f) & 0xff)))
+  }
+
+  final case class SampledFrame(doc_id: String, media_ref: String,
+                                frame_idx: Int, width: Int, height: Int,
+                                real_decode: Boolean, p00: Int)
+
+  /** Materializes a VIDEO media table: one [[GpvSynth]] container per media
+    * span — nFrames = 3 + mid mod 6, frame dims from the image-table
+    * arithmetic — so frame sampling is oracle-checkable end-to-end. */
+  def videoTable(view: DataFrame): DataFrame = {
+    val midStr = regexp_extract(col("media_ref"), "([0-9]{1,6})$", 1)
+    val mid = when(midStr === "", lit(0)).otherwise(midStr.cast("int"))
+    val vidUdf = udf { (n: Int, w: Int, h: Int, seed: Int) => GpvSynth.video(n, w, h, seed) }
+    view.select(col("doc_id"), explode(col("media_refs")).as("media_ref"))
+      .withColumn("bytes", vidUdf(lit(3) + pmod(mid, lit(6)),
+        lit(16) + pmod(mid * 7, lit(48)), lit(16) + pmod(mid * 13, lit(48)), mid))
+  }
+
+  /** REAL frame sampling: parse the container, keep every `every`-th frame,
+    * decode each kept frame with the real PNG decoder (dims + the (0,0)
+    * pixel — enough for an exact oracle without shipping pixel buffers).
+    * Non-container payloads fall back to the hash stub (frame_idx carries
+    * the stub hash ordering; real_decode=false). Partition-wise, one output
+    * row per kept frame, nothing collected. */
+  def sampleFramesReal(media: DataFrame, every: Int = 2): Dataset[SampledFrame] = {
+    require(every >= 1, "every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_ref", "bytes").as[MediaRow]
+      .flatMap { r =>
+        GpvSynth.decode(r.bytes) match {
+          case Some(frames) =>
+            frames.zipWithIndex.collect {
+              case (f, idx) if idx % every == 0 =>
+                PngSynth.decodeGray(f) match {
+                  case Some((w, h, px)) =>
+                    SampledFrame(r.doc_id, r.media_ref, idx, w, h,
+                      real_decode = true, px(0) & 0xff)
+                  case None =>
+                    SampledFrame(r.doc_id, r.media_ref, idx, -1, -1,
+                      real_decode = false, -1)
+                }
+            }
+          case None =>
+            StubCodecs.sampleFrames(r.bytes, 64).zipWithIndex
+              .collect { case (hash, i) if i % every == 0 =>
+                SampledFrame(r.doc_id, r.media_ref, i, -1, -1,
+                  real_decode = false, (hash & 0xff).toInt)
+              }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads, one output row per frame. */
   def sampleFrames(media: DataFrame, everyBytes: Int = 64): Dataset[FrameSample] = {
     val spark = media.sparkSession

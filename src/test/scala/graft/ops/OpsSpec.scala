@@ -630,6 +630,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out("d2").n_samples === stub._2 && out("d2").mean_abs.toSeq === stub._3.toSeq)
   }
 
+  test("packed-video container: round-trip, hostile counts, real per-frame decode") {
+    import Multimodal.{GpvSynth, PngSynth}
+    val frames = (0 until 5).map(f => PngSynth.png(20, 12, (9 + 7 * f) & 0xff))
+    val vid = GpvSynth.encode(frames)
+    val Some(back) = GpvSynth.decode(vid)
+    assert(back.length === 5 && back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // hostile frame count (huge), hostile frame length, trailing garbage
+    val evilN = vid.clone(); evilN(6) = 0x7f
+    assert(GpvSynth.decode(evilN) === None)
+    val evilLen = vid.clone(); evilLen(10) = 0x7f
+    assert(GpvSynth.decode(evilLen) === None)
+    assert(GpvSynth.decode(vid ++ Array[Byte](0)) === None)
+    assert(GpvSynth.decode("not a video".getBytes) === None)
+    // operator: every-2nd frame, real dims + gradient (0,0) pixel; stub for blobs
+    val media = Seq(("d1", "media://9", GpvSynth.video(5, 20, 12, 9)),
+      ("d2", "media://blob", Array.fill[Byte](200)(5)))
+      .toDF("doc_id", "media_ref", "bytes")
+    val out = Multimodal.sampleFramesReal(media, every = 2).collect()
+      .groupBy(_.doc_id)
+    val real = out("d1").sortBy(_.frame_idx)
+    assert(real.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    real.foreach { s =>
+      assert(s.real_decode && s.width === 20 && s.height === 12 &&
+        s.p00 === (9 + 7 * s.frame_idx) % 256, s.toString)
+    }
+    assert(out("d2").forall(!_.real_decode), "blob must take the stub path")
+  }
+
   test("multimodal plumbing: media explode, batch decode, frame sampling are deterministic") {
     val docs = graft.fixtures.DeterministicGen.docsDF(spark, 0.001)
     val view = graft.model.OsmView.derive(docs)
