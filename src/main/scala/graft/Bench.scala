@@ -149,7 +149,7 @@ object Bench {
     val nDocs = docs.count()
 
     // materialized typed projection (one-time cost, measured separately);
-    // _h1 = layout with HotTags pushdown columns (regenerates old caches)
+    // _h2 = metadata-tagged derived-hot-key layout (regenerates old caches)
     val viewPath = docsPath + "_view_h2"
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (!new java.io.File(viewPath + "/_SUCCESS").exists())

@@ -576,7 +576,7 @@ object SparkEntry {
       s"""WITH m AS (
          |  SELECT concat(substr($typExpr, 1, 1), CAST($idExpr AS VARCHAR)) AS key,
          |         o_orderkey % 1000 AS mid
-         |  FROM orders WHERE o_orderkey % 8 = 0)
+         |  FROM orders WHERE o_orderkey % 8 = 0 AND o_orderkey % 1000 < 400)
          |SELECT a.key AS key_a, b.key AS key_b
          |FROM m a JOIN m b ON a.mid = b.mid AND a.key < b.key
          |ORDER BY key_a, key_b""".stripMargin,

@@ -527,12 +527,18 @@ object Queries {
     // identical feature vector ⇒ identical LSH signature (guaranteed
     // candidate) and cosine 1 ≥ 0.999 — so the output provably equals the
     // SQL-recomputable set {(a,b) : mid_a = mid_b}; a bug anywhere in the
-    // pixel/feature/bucket chain drops a row. (Unrestricted, gradient
-    // images of different seeds also pool to near-constant means — cosine
-    // ≈ 1 by construction of the fixture, not an operator property.)
+    // pixel/feature/bucket chain drops a row. DENSE-ORACLE
+    // PARAMETERIZATION (like the jaccard gates): gradient images of
+    // different seeds pool to near-parallel means, so at threshold 0.999
+    // most pairs are TRUE near-dups — verification work is Θ(answer), not
+    // a pruning failure; the mid subset below keeps the gate small. Sparse
+    // corpora where the buckets actually prune are covered by
+    // sim_cosine_dups and OpsSpec's straddling-near-dup test.
     "multimodal_ann_dups" -> { (spark, sfDir) =>
       val docs = TpchOsm.docs(spark, sfDir)
+      val midOf = regexp_extract(col("media_ref"), "([0-9]{1,6})$", 1)
       val media = graft.ops.Multimodal.mediaTable(graft.model.OsmView.derive(docs))
+        .filter(when(midOf === "", lit(0)).otherwise(midOf.cast("int")) < 400)
       val resized = graft.ops.Multimodal.resizeImages(media, 16, 16).toDF()
       val feats = graft.ops.Multimodal
         .decodeImages(resized.select("doc_id", "media_ref", "bytes"), featureDim = 16)
@@ -540,8 +546,10 @@ object Queries {
       val emb = feats.select(col("doc_id"), col("feature").as("embedding"))
       val pairs = Similarity.cosineDupPairs(emb, col("doc_id"),
         threshold = 0.999, dim = 16, bits = 8)
+      // guarded extraction (ANSI: a ref without trailing digits must yield
+      // 0, not a NumberFormatException — same shape as mediaTable's)
       val mids = media.select(col("doc_id"),
-        regexp_extract(col("media_ref"), "([0-9]{1,6})$", 1).cast("int").as("mid"))
+        when(midOf === "", lit(0)).otherwise(midOf.cast("int")).as("mid"))
       pairs
         .join(mids.select(col("doc_id").as("key_a"), col("mid").as("mid_a")), "key_a")
         .join(mids.select(col("doc_id").as("key_b"), col("mid").as("mid_b")), "key_b")

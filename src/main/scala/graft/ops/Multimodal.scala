@@ -194,8 +194,12 @@ object Multimodal {
       // framing) — a 2^30-pixel header over a 100-byte IDAT is a lie, not
       // an image, and must return None instead of attempting a multi-GB
       // allocation or throwing NegativeArraySizeException
+      // pixel budget: 2^28 raw bytes (≈268 MP grayscale) — far above any
+      // real thumbnail/training-image source, and it keeps a single
+      // hostile row from allocating executor-killing buffers even when the
+      // deflate-expansion bound below is satisfied by a large IDAT
       val rawLen = h.toLong * (1L + w.toLong)
-      if (rawLen > Int.MaxValue - 8 || rawLen > idat.size().toLong * 1032L + 64L)
+      if (rawLen > (1L << 28) || rawLen > idat.size().toLong * 1032L + 64L)
         return None
       val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
@@ -258,10 +262,12 @@ object Multimodal {
         val out = new Array[Float](dim)
         var cy = 0
         while (cy < g) {
-          val y0 = cy * h / g; val y1 = (cy + 1) * h / g
+          // Long bound arithmetic: cx·w etc. overflow Int for the large
+          // (but within-budget) dimensions decodeGray admits
+          val y0 = (cy.toLong * h / g).toInt; val y1 = ((cy + 1).toLong * h / g).toInt
           var cx = 0
           while (cx < g) {
-            val x0 = cx * w / g; val x1 = (cx + 1) * w / g
+            val x0 = (cx.toLong * w / g).toInt; val x1 = ((cx + 1).toLong * w / g).toInt
             var sum = 0L; var y = y0
             while (y < y1) {
               var x = x0
@@ -279,7 +285,9 @@ object Multimodal {
         val out = new Array[Float](dim)
         var i = 0
         while (i < dim) {
-          val p0 = i * n / dim; val p1 = math.max(p0 + 1, (i + 1) * n / dim)
+          // Long arithmetic: i·n overflows Int past ~134M pixels
+          val p0 = (i.toLong * n / dim).toInt
+          val p1 = math.max(p0 + 1, ((i + 1).toLong * n / dim).toInt)
           var sum = 0L; var p = p0
           while (p < math.min(p1, n)) { sum += px(p) & 0xff; p += 1 }
           out(i) = if (p1 > p0 && p0 < n) (sum.toDouble / (math.min(p1, n) - p0)).toFloat else 0f
@@ -406,7 +414,8 @@ object Multimodal {
       val zc = new Array[Int](w)
       var k = 0
       while (k < w) {
-        val x0 = k * n / w; val x1 = (k + 1) * n / w
+        // Long bounds: k·n overflows Int for the ~GB WAVs decodePcm16 admits
+        val x0 = (k.toLong * n / w).toInt; val x1 = ((k + 1).toLong * n / w).toInt
         var sum = 0L; var cross = 0; var i = x0
         while (i < x1) {
           sum += math.abs(samples(i).toInt)

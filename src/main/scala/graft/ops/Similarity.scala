@@ -126,7 +126,14 @@ object Similarity {
     * the scale path. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, bits: Int = 12, probes: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L): DataFrame =
+    topKPerQuery(lshJoined(corpus, queries, dim, bits, probes, seed)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"))), k)
+
+  /** The candidate join [[lshTopK]] re-ranks — one row per (query, corpus
+    * vector) the probe ladder actually scans. */
+  private def lshJoined(corpus: DataFrame, queries: DataFrame, dim: Int,
+                        bits: Int, probes: Int, seed: Long): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
     val c = corpus.withColumn("bucket", lshSignature(col("embedding"), planes))
     val qSig = queries.select(col("query_id"), col("embedding").as("q_emb"))
@@ -139,10 +146,17 @@ object Similarity {
       explode(array(probeCols.map(p => col("sig").bitwiseXOR(p)): _*)).as("bucket"))
     // a corpus vector has ONE bucket and a query's probe buckets are
     // distinct XOR masks, so each (query, vec) candidate joins exactly once
-    val scored = c.join(qBuckets, Seq("bucket"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-    topKPerQuery(scored, k)
+    c.join(qBuckets, Seq("bucket"))
   }
+
+  /** ACTUAL candidates the LSH config scans (shares [[lshJoined]] with the
+    * operator): bucket-size skew makes the uniform estimate
+    * (1+probes)/2^bits wrong on structured corpora, so published
+    * scanned-fraction numbers must come from here. */
+  def lshCandidateCount(corpus: DataFrame, queries: DataFrame, dim: Int,
+                        bits: Int = 12, probes: Int = 4,
+                        seed: Long = 42L): Long =
+    lshJoined(corpus, queries, dim, bits, probes, seed).count()
 
   // --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
 
@@ -212,7 +226,14 @@ object Similarity {
     * computed as a sorted literal-centroid score array — all pure Columns,
     * queries broadcast; no training job runs. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+              cents: Array[Array[Double]], nProbe: Int): DataFrame =
+    topKPerQuery(ivfJoined(corpus, queries, cents, nProbe)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"))), k)
+
+  /** The candidate join [[ivfTopK]] re-ranks — one row per (query, corpus
+    * vector) in the probed buckets. */
+  private def ivfJoined(corpus: DataFrame, queries: DataFrame,
+                        cents: Array[Array[Double]], nProbe: Int): DataFrame = {
     val bucketed = corpus.withColumn("cid", assignCol(col("embedding"), cents))
     val scoreArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct(dotLit(col("q_emb"), c).as("s"), lit(-i).as("ni"))
@@ -225,10 +246,16 @@ object Similarity {
       .drop("probe")
     // each (query, vec) joins at most once: a corpus vector has one cid and
     // a query's probe list is distinct centroid ids
-    val scored = bucketed.join(broadcast(probes), Seq("cid"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-    topKPerQuery(scored, k)
+    bucketed.join(broadcast(probes), Seq("cid"))
   }
+
+  /** ACTUAL candidates the IVF config scans (shares [[ivfJoined]] with the
+    * operator): queries preferentially probe DENSE clusters, so on
+    * structured corpora the uniform estimate nProbe/nCentroids understates
+    * the scan — published fractions must come from here. */
+  def ivfCandidateCount(corpus: DataFrame, queries: DataFrame,
+                        cents: Array[Array[Double]], nProbe: Int): Long =
+    ivfJoined(corpus, queries, cents, nProbe).count()
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucket
     * self-join + exact verify (no cross product).

@@ -52,20 +52,29 @@ object RecallProbe {
 
       def recall(approx: DataFrame): Double = Similarity.recallAgainst(truth, approx)
 
-      println(s"# fixture=$fixtureName embeddings=$nEmb queries=${truthN / k} k=$k")
-      println("fixture\tkind\tconfig\trecall@10\tcand_frac")
+      val nQ = truthN / k
+      println(s"# fixture=$fixtureName embeddings=$nEmb queries=$nQ k=$k")
+      // cand_frac is MEASURED from the operator's own candidate join
+      // (lsh/ivfCandidateCount), not the uniform-bucket estimate — on
+      // structured corpora the buckets are size-skewed and queries probe
+      // the dense ones, so the estimate understates the real scan; the
+      // uniform estimate is printed alongside for the skew to be visible
+      println("fixture\tkind\tconfig\trecall@10\tcand_frac\tuniform_est")
       for (bits <- Seq(6, 8, 10); probes <- Seq(0, 4, 8, 16, 32)) {
         val r = recall(Similarity.lshTopK(emb, q, k, dim = 64,
           bits = bits, probes = probes))
-        // expected scanned fraction: (1 + probes) buckets of 2^bits
-        val frac = math.min(1.0, (1.0 + probes) / (1L << bits))
-        println(f"$fixtureName\tlsh\tbits=$bits,probes=$probes\t$r%.3f\t$frac%.4f")
+        val frac = Similarity.lshCandidateCount(emb, q, dim = 64,
+          bits = bits, probes = probes).toDouble / (nQ * nEmb)
+        val est = math.min(1.0, (1.0 + probes) / (1L << bits))
+        println(f"$fixtureName\tlsh\tbits=$bits,probes=$probes\t$r%.3f\t$frac%.4f\t$est%.4f")
       }
       for (nc <- Seq(8, 16, 32); np <- Seq(1, 2, 4, 8)) {
         if (np <= nc) {
-          val r = recall(Similarity.ivfTopK(emb, q, k, dim = 64,
-            nCentroids = nc, nProbe = np))
-          println(f"$fixtureName\tivf\tnc=$nc,np=$np\t$r%.3f\t${np.toDouble / nc}%.4f")
+          val cents = Similarity.ivfCentroids(emb, dim = 64, nCentroids = nc)
+          val r = recall(Similarity.ivfTopK(emb, q, k, cents, nProbe = np))
+          val frac = Similarity.ivfCandidateCount(emb, q, cents, nProbe = np)
+            .toDouble / (nQ * nEmb)
+          println(f"$fixtureName\tivf\tnc=$nc,np=$np\t$r%.3f\t$frac%.4f\t${np.toDouble / nc}%.4f")
         }
       }
       truth.unpersist(); emb.unpersist()
