@@ -302,31 +302,6 @@ object Bench {
     hvPairs.unpersist()
     hvDocs.unpersist() // don't pin the 50k-doc corpus under the text/sim rows
 
-    // winnow DATA-SCALING axis (per round): the same operator at 50k and
-    // 200k docs on the UNBOUNDED-vocab corpus (constant work per doc — see
-    // highVocabDocsDF scaladoc), so the 200k/50k wall-clock ratio isolates
-    // operator scaling from corpus collision statistics AND gives the
-    // bounded-vocab row above a second measurement to attribute drift
-    // against: measurement noise moves both rows together; a real
-    // regression moves docs/s at every size.
-    for (n <- Seq(50000L, 200000L)) {
-      // partition count FIXED (not cpus-derived) and encoded in the path:
-      // the fixture is cached across runs, so a cpus-dependent layout would
-      // make the 200k/50k scaling ratio depend on which run wrote it first
-      val parts = 64
-      val p = s"/root/repo/target/bench/hvdocs_dist_n${n}_vinf_p$parts"
-      if (!new java.io.File(p + "/_SUCCESS").exists())
-        DeterministicGen.highVocabDocsDF(spark, n, vocab = Long.MaxValue)
-          .repartition(parts)
-          .write.mode("overwrite").parquet(p)
-      val d = spark.read.parquet(p).cache()
-      d.count()
-      results(s"dedup_winnowed_vinf_${n / 1000}k") =
-        best2(s"dedup_winnowed_vinf_${n / 1000}k")(
-          Dedup.winnowedDupPairs(d, col("text"), col("doc_id"),
-            k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000).count())
-      d.unpersist()
-    }
     results("text_analysis") = median3("text_analysis")(
       documents.select(
         graft.ops.TextOps.tokenCountWs(col("text")),
@@ -341,6 +316,22 @@ object Bench {
     results("multimodal_resize") = median3("multimodal_resize")(
       graft.ops.Multimodal.resizeImages(media, 64, 64).count())
     media.unpersist()
+
+    // audio + frame-sampling siblings over the same media spans (payload
+    // synthesis cached out of the timing, like the image row): decodeAudio
+    // walks real RIFF chunks + windowed features; sampleFramesReal parses
+    // the container and routes every kept frame through the real PNG decoder
+    val view4media = graft.model.OsmView.derive(docs)
+    val audio = graft.ops.Multimodal.audioTable(view4media).cache()
+    val nAudio = audio.count()
+    results("multimodal_audio") = median3("multimodal_audio")(
+      graft.ops.Multimodal.decodeAudio(audio, windows = 8).count())
+    audio.unpersist()
+    val video = graft.ops.Multimodal.videoTable(view4media).cache()
+    video.count()
+    results("multimodal_frames") = median3("multimodal_frames")(
+      graft.ops.Multimodal.sampleFramesReal(video, every = 2).count())
+    video.unpersist()
 
     val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     embeddings.count()
@@ -375,6 +366,47 @@ object Bench {
       Similarity.ivfTopK(embeddings, embQ, 10, dim = 64, nCentroids = 16, nProbe = 4))
     truth.unpersist()
 
+    // winnow DATA-SCALING axis (per round): the same operator at 50k and
+    // 200k docs on the UNBOUNDED-vocab corpus (constant work per doc — see
+    // highVocabDocsDF scaladoc), so the 200k/50k wall-clock ratio isolates
+    // operator scaling from corpus collision statistics AND gives the
+    // bounded-vocab row above a second measurement to attribute drift
+    // against: measurement noise moves both rows together; a real
+    // regression moves docs/s at every size.
+    //
+    // Deliberately LAST in the suite (before the closing calibration
+    // probes): these two rows run for minutes and their shuffle/GC
+    // pressure measurably polluted the sub-second sim_*/resize rows when
+    // they ran mid-suite (run5 showed 2.4-2.9× on the four sim rows with
+    // clean calibration at both ends — the probes bracket the suite, not
+    // each row). All steady rows are measured before the monsters start.
+    // Every suite cache is released first and the dead shuffle data from
+    // ~30 prior queries GC-nudged out (ScalingBench's lesson: shuffle files
+    // live until ContextCleaner sees their dependencies collected), so the
+    // monsters run against a clean heap, as they would as standalone jobs.
+    nodes.unpersist()
+    documents.unpersist()
+    embeddings.unpersist()
+    System.gc()
+    for (n <- Seq(50000L, 200000L)) {
+      // partition count FIXED (not cpus-derived) and encoded in the path:
+      // the fixture is cached across runs, so a cpus-dependent layout would
+      // make the 200k/50k scaling ratio depend on which run wrote it first
+      val parts = 64
+      val p = s"/root/repo/target/bench/hvdocs_dist_n${n}_vinf_p$parts"
+      if (!new java.io.File(p + "/_SUCCESS").exists())
+        DeterministicGen.highVocabDocsDF(spark, n, vocab = Long.MaxValue)
+          .repartition(parts)
+          .write.mode("overwrite").parquet(p)
+      val d = spark.read.parquet(p).cache()
+      d.count()
+      results(s"dedup_winnowed_vinf_${n / 1000}k") =
+        best2(s"dedup_winnowed_vinf_${n / 1000}k")(
+          Dedup.winnowedDupPairs(d, col("text"), col("doc_id"),
+            k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000).count())
+      d.unpersist()
+    }
+
     val calibMemAfter = calibrateMem()
     val calibAfter = calibrate()
 
@@ -384,7 +416,7 @@ object Bench {
     val spreadJson = spreads.map { case (k, (mn, mx)) =>
       "\"" + k + f"""\":[$mn%.3f,$mx%.3f]""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spreadJson,"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,"calib_mem_before_s":$calibMemBefore%.3f,"calib_mem_after_s":$calibMemAfter%.3f,"sim_lsh_recall_at10":$lshRecall%.3f,"sim_ivf_recall_at10":$ivfRecall%.3f,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_cold_elements_per_sec":$filterColdEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv,"media_rows":$nMedia}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spreadJson,"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,"calib_mem_before_s":$calibMemBefore%.3f,"calib_mem_after_s":$calibMemAfter%.3f,"sim_lsh_recall_at10":$lshRecall%.3f,"sim_ivf_recall_at10":$ivfRecall%.3f,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_cold_elements_per_sec":$filterColdEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv,"media_rows":$nMedia,"audio_rows":$nAudio}"""
     println(json)
     // belt-and-braces for the driver: a file copy free of any logger prefixing
     val out = java.nio.file.Paths.get("/root/repo/target/bench/bench.json")

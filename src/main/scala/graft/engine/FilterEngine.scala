@@ -106,6 +106,18 @@ object FilterEngine {
   def parse(expression: String, sugar: Boolean = false): Query =
     Query(expression, Parser.parse(expression, sugar))
 
+  /** Read a JSON-lines docs stream — the shape `-o - `/`-f json` emits
+    * (docs-contract columns; extra top-level fields in the lines are
+    * ignored by the schema-directed reader, so a previous filter's typed
+    * view columns round-trip harmlessly). This is the stdin half of the
+    * reference's shell-pipeline defaults (main.cpp:57-61): with Main's
+    * `-` input, `graft -e … -o - IN | graft -e … -` composes two filters
+    * the way two osmium-filter processes compose over OSM byte streams. */
+  def readDocsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[graft.model.OsmDocRow].schema)
+      .json(path)
+
   /** Single-pass filter (reference R1): selects matching rows of the docs
     * table, never rewriting `spans` (span-sequence invariant is structural).
     * Returns the full docs shape plus the typed view columns. */

@@ -56,7 +56,7 @@ object Main {
         case "--parts"                  => parts = argValue(i).toInt; i += 2
         case "-h" | "--help" =>
           System.out.println(
-            "graft-filter [OPTIONS] INPUT\n  -e EXPR | -E FILE, -o OUT ('-' = JSON lines to stdout), -f parquet|json|csv, -n dry-run, -v verbose, -w complete-ways, --progress, --extended-syntax, --checkpoint ROOT [--job NAME --parts N]")
+            "graft-filter [OPTIONS] INPUT\n  INPUT: parquet docs path, or '-' = JSON-lines docs from stdin\n  -e EXPR | -E FILE, -o OUT ('-' = JSON lines to stdout), -f parquet|json|csv, -n dry-run, -v verbose, -w complete-ways, --progress, --extended-syntax, --checkpoint ROOT [--job NAME --parts N]")
           return
         case other => input = other; i += 1
       }
@@ -66,13 +66,16 @@ object Main {
       sys.exit(2)
     }
     // the reference defaults INPUT and OUTPUT to `-` (stdin/stdout,
-    // main.cpp:59-61). The stdout half has a faithful analog (`-o -` below);
-    // stdin does not — a parquet source is a seekable directory, not a byte
-    // stream — so `-` as input is refused with a clear message rather than a
-    // confusing FileNotFoundException.
-    if (input == "-") {
+    // main.cpp:59-61). `-o -` streams JSON-lines docs out; `-` as input
+    // accepts the same stream back, so two graft filters compose in a shell
+    // pipeline exactly like two osmium-filter processes. stdin is a byte
+    // stream and Spark sources need seekable files, so the stream is
+    // spooled to a driver-local temp file (64 KB copy buffer, bounded
+    // memory) before the scan — the spool is the pipeline's natural
+    // single-stream bottleneck, not a distributed path.
+    if (input == "-" && checkpointRoot.nonEmpty) {
       System.err.println(
-        "stdin input ('-') is not supported: the input is a parquet docs table; pass a path")
+        "--checkpoint with stdin input ('-') is not supported: resume needs a re-readable input fingerprint; spool to a path first")
       sys.exit(2)
     }
     if (exprFile.nonEmpty)
@@ -105,7 +108,16 @@ object Main {
     // live scan progress (reference ProgressBar, main.cpp:168-189): a
     // SparkListener ticking completed/total tasks per stage to stderr
     if (progress) spark.sparkContext.addSparkListener(new ProgressListener)
-    val docs = spark.read.parquet(input)
+    val docs =
+      if (input == "-") {
+        // spool AFTER the dry-run/parse gates so `-n`/parse errors never
+        // block on stdin
+        val tmp = java.nio.file.Files.createTempFile("graft-stdin-", ".jsonl")
+        tmp.toFile.deleteOnExit()
+        java.nio.file.Files.copy(System.in, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        FilterEngine.readDocsJson(spark, tmp.toString)
+      } else spark.read.parquet(input)
     val loader = Compiler.fileLoader(name => java.nio.file.Paths.get(name))
     val filtered =
       if (completeWays) FilterEngine.completeWays(docs, expression, loader, sugar)

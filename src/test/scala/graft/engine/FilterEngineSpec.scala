@@ -70,6 +70,27 @@ class FilterEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON-lines docs round-trip: `-o -` output re-read as `-` input filters identically") {
+    // stage 1: a broad filter streamed out the way `-o -` does (toJSON on
+    // the full filter output — typed view columns included, which the
+    // schema-directed reader must IGNORE on the way back in)
+    val jsonl = java.nio.file.Files.createTempFile("graft-stdin-spec-", ".jsonl")
+    val lines = FilterEngine.filter(docs, "@way or @node")
+      .orderBy("seq").toJSON.collect()
+    java.nio.file.Files.write(jsonl, String.join("\n", lines: _*).getBytes("UTF-8"))
+
+    // stage 2: re-read as a docs table and apply a narrower filter
+    val back = FilterEngine.readDocsJson(spark, jsonl.toString)
+    assert(back.columns.toSeq === Seq("doc_id", "spans", "type", "seq"),
+      "reader restricts to the docs contract")
+    val got = FilterEngine.filter(back, "highway == residential and @version >= 2")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val expected = FilterEngine.filter(docs,
+      "(@way or @node) and highway == residential and @version >= 2")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got === expected)
+  }
+
   test("driver entry (flagship query) returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
