@@ -154,6 +154,17 @@ object SparkEntry {
          |   OR (o_orderpriority LIKE '3%' AND o_orderkey % 3 = 0)
          |ORDER BY id""".stripMargin,
 
+    "spatial_bbox_prune" ->
+      s"""WITH p AS ($nodesP)
+         |SELECT CAST(1 AS BIGINT) AS box_id, id FROM p
+         |  WHERE lat >= 10.005 AND lat <= 25.005
+         |    AND lon >= -60.005 AND lon <= -20.005
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), id FROM p
+         |  WHERE lat >= -35.005 AND lat <= -5.005
+         |    AND (lon >= 170.005 OR lon <= -150.005)
+         |ORDER BY box_id, id""".stripMargin,
+
     "spatial_grid_density" ->
       s"""SELECT cx, cy, count(*) AS n FROM (
          |  SELECT CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) AS cx,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.compile.Compiler
 import graft.engine.FilterEngine
 import graft.ops.{Dedup, LangId, Similarity, TextOps}
-import graft.spatial.SpatialOps
+import graft.spatial.{SpatialLayout, SpatialOps}
 
 /** The driver-verified query suite: one entry per operator family
   * (SURVEY.md §2 + training-data ops + spatial layer). Every query is a real
@@ -178,6 +178,26 @@ object Queries {
         .filter(col("type") === "node").select("id", "lat", "lon")
       SpatialOps.tileJoin(nodes, tiles, pointLevel = 12, tileLevel = 6)
         .select(col("id"), col("p_partkey")).orderBy("id", "p_partkey")
+    },
+    // the Z-ordered storage layout end-to-end: materialize nodes as a
+    // Z-clustered table (coarse-cell dirs + fine-cell sort), then answer two
+    // bboxes through the pruned path — box 1 mid-ocean, box 2 WRAPS the
+    // antimeridian (the coverBBox wrap-collision bug a plain-filter oracle
+    // would catch if it regressed). Results must equal the exact predicate.
+    "spatial_bbox_prune" -> { (spark, sfDir) =>
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-zlayout-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+          "-" + ProcessHandle.current().pid()).toString
+      Queries.deleteOnExit(dir)
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      SpatialLayout.materialize(nodes, dir, coarseLevel = 3, fineLevel = 14)
+      val layout = spark.read.parquet(dir)
+      val a = SpatialLayout.bboxFilter(layout, 10.005, 25.005, -60.005, -20.005)
+        .select(lit(1L).as("box_id"), col("id"))
+      val b = SpatialLayout.bboxFilter(layout, -35.005, -5.005, 170.005, -150.005)
+        .select(lit(2L).as("box_id"), col("id"))
+      a.unionByName(b).orderBy("box_id", "id")
     },
     "spatial_tile_assign" -> { (spark, sfDir) =>
       val nodes = TpchOsm.view(spark, sfDir)

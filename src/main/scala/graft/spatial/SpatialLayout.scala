@@ -1,0 +1,116 @@
+package graft.spatial
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** Z-order-clustered storage layout for point tables — the scan-pruning leg
+  * of the tiling engine (north rule: "partitioning handled explicitly" at
+  * 10^12 documents). The hot-tag projection solved the TAG half of scan
+  * pruning (pushed `t_<key>` predicates, 11.8× at 24M rows); this solves
+  * the SPATIAL half: a bbox query over a `partitionBy("type")` view still
+  * reads every file, because row order is id-ish and lat/lon min/max spans
+  * of every row group cover the whole planet.
+  *
+  * Layout (the Iceberg/Delta "Z-ORDER BY" idea, re-built on plain
+  * hive-partitioned parquet):
+  *
+  *  - `pcell` — coarse Z cell (default level 4, ≤256 dirs) as the PARTITION
+  *    directory column → a bbox prunes whole directories from the file
+  *    listing before any I/O.
+  *  - `zcell` — fine Z cell (default level 16, ~600 m) as a stored column,
+  *    with rows RANGE-partitioned and sorted by it → every parquet row
+  *    group holds one tight Z-interval, so its zcell min/max statistics
+  *    skip it unless the bbox's Z-ranges intersect.
+  *
+  * Skew: dense-urban coarse cells are NOT one writer task each —
+  * `repartitionByRange(zcell)` samples the data and splits a hot cell
+  * across as many contiguous Z-slices as its row share demands (a salted
+  * repartition would balance too, but destroys the clustering the row-group
+  * statistics need; range partitioning is the skew tool that KEEPS order).
+  *
+  * [[bboxFilter]] then composes three prune layers under the exact
+  * predicate: directory pruning (`pcell ∈ coarse cover`) + row-group
+  * skipping (`zcell ∈ merged cover ranges`, pushed to the parquet scan as
+  * an Or-of-range filter) + the exact lat/lon test. Both prune predicates
+  * are provable supersets of the bbox (ZCell.coverRanges scaladoc), so
+  * results equal a full-scan filter bit-for-bit; pruning is pure I/O
+  * savings. The grid levels ride in `zcell`'s column METADATA (persisted in
+  * the parquet footer, like HotTags' `graft_hot_key`), so readers need no
+  * side file and a non-layout table degrades to the plain scan.
+  */
+object SpatialLayout {
+  /** Coarse partition-directory cell column. */
+  val PartCol = "pcell"
+  /** Fine sort-order cell column (level constant per layout). */
+  val SortCol = "zcell"
+  /** Column-metadata keys carrying the two grid levels on [[SortCol]]. */
+  val MetaCoarse = "graft_zcell_coarse_level"
+  val MetaFine = "graft_zcell_fine_level"
+
+  /** Write `points` (needs `lat`/`lon` columns; all other columns ride
+    * along) as a Z-clustered layout at `path`. Rows with null coordinates
+    * land in the null partition directory and match no bbox.
+    *
+    * `numFiles` bounds the range-partition count — size it so one file's
+    * row groups fit executor memory at the target scale (at 100 TB this is
+    * thousands; the LAYOUT is identical, only the sample-based range
+    * boundaries move). */
+  def materialize(points: DataFrame, path: String, coarseLevel: Int = 4,
+                  fineLevel: Int = 16, numFiles: Int = 32): Unit = {
+    require(coarseLevel >= 0 && coarseLevel <= fineLevel &&
+      fineLevel <= ZCell.MaxLevel,
+      s"need 0 <= coarse($coarseLevel) <= fine($fineLevel) <= ${ZCell.MaxLevel}")
+    val meta = new MetadataBuilder()
+      .putLong(MetaCoarse, coarseLevel.toLong)
+      .putLong(MetaFine, fineLevel.toLong).build()
+    val z = SpatialOps.cellId(col("lat"), col("lon"), fineLevel)
+    points
+      .select(col("*"), z.as(SortCol, meta),
+        SpatialOps.cellParent(z, fineLevel, coarseLevel).as(PartCol))
+      .repartitionByRange(numFiles, col(SortCol))
+      .sortWithinPartitions(SortCol)
+      .write.mode("overwrite").partitionBy(PartCol).parquet(path)
+  }
+
+  /** Inclusive bbox filter over a layout written by [[materialize]]:
+    * directory pruning + row-group skipping + exact predicate. Boxes with
+    * `lonMin > lonMax` wrap the antimeridian. A table without the layout
+    * metadata (or without [[SortCol]]) gets the exact predicate alone —
+    * same rows, no pruning.
+    *
+    * `maxRanges` caps the Z-range count (cover level auto-coarsens above
+    * it — more false-positive row groups, smaller filter tree);
+    * `maxPartitionList` caps the directory-pruning IN-list (a near-global
+    * box skips it — the zcell ranges still prune). */
+  def bboxFilter(layout: DataFrame, latMin: Double, latMax: Double,
+                 lonMin: Double, lonMax: Double, maxRanges: Int = 128,
+                 maxPartitionList: Int = 1024): DataFrame = {
+    require(latMin <= latMax, s"latMin $latMin > latMax $latMax")
+    val lonPred =
+      if (lonMin <= lonMax) col("lon") >= lonMin && col("lon") <= lonMax
+      else col("lon") >= lonMin || col("lon") <= lonMax // antimeridian wrap
+    val exact = col("lat") >= latMin && col("lat") <= latMax && lonPred
+
+    val zField = layout.schema.fields.find(f =>
+      f.name == SortCol && f.metadata.contains(MetaFine) &&
+        f.metadata.contains(MetaCoarse))
+    zField match {
+      case None => layout.filter(exact)
+      case Some(f) =>
+        val fine = f.metadata.getLong(MetaFine).toInt
+        val coarse = f.metadata.getLong(MetaCoarse).toInt
+        val ranges =
+          ZCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, maxRanges)
+        val zPred = ranges
+          .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
+          .reduce(_ or _)
+        val pCover = ZCell.coverBBox(latMin, latMax, lonMin, lonMax, coarse)
+        val pruned =
+          if (layout.columns.contains(PartCol) && pCover.size <= maxPartitionList)
+            layout.filter(col(PartCol).isin(pCover: _*))
+          else layout
+        pruned.filter(zPred && exact)
+    }
+  }
+}

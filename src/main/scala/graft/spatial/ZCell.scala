@@ -122,8 +122,62 @@ object ZCell {
     val yHi = clamp(math.floor((90.0 - latMin) / 180.0 * n).toInt, n - 1)
     val xLo = clamp(math.floor((lonMin + 180.0) / 360.0 * n).toInt, n - 1)
     val xHi = clamp(math.floor((lonMax + 180.0) / 360.0 * n).toInt, n - 1)
-    val xs = if (xLo <= xHi) xLo to xHi else (xLo until n) ++ (0 to xHi)
+    // wrap is decided by the INPUT (lonMin > lonMax), never by xLo <= xHi: a
+    // wide wrap box whose two edges fall in the same (or adjacent) grid
+    // column covers EVERY column — the uncovered sliver is narrower than a
+    // cell, so no column is excludable at this level
+    val xs: Seq[Int] =
+      if (lonMin <= lonMax) xLo to xHi
+      else if (xLo <= xHi + 1) 0 until n
+      else (xLo until n) ++ (0 to xHi)
     for (yy <- yLo to yHi; xx <- xs) yield xyToCell(xx, yy, level)
+  }
+
+  /** Number of cells [[coverBBox]] would return at `level` (same floor/clamp
+    * math, no materialization) — used to pick a cover level under a budget. */
+  def coverCount(latMin: Double, latMax: Double, lonMin: Double,
+                 lonMax: Double, level: Int): Long = {
+    val n = 1 << level
+    val yLo = clamp(math.floor((90.0 - latMax) / 180.0 * n).toInt, n - 1)
+    val yHi = clamp(math.floor((90.0 - latMin) / 180.0 * n).toInt, n - 1)
+    val xLo = clamp(math.floor((lonMin + 180.0) / 360.0 * n).toInt, n - 1)
+    val xHi = clamp(math.floor((lonMax + 180.0) / 360.0 * n).toInt, n - 1)
+    val xs = // mirrors coverBBox's wrap handling exactly
+      if (lonMin <= lonMax) xHi - xLo + 1L
+      else if (xLo <= xHi + 1) n.toLong
+      else (n.toLong - xLo) + (xHi + 1L)
+    (yHi - yLo + 1L) * xs
+  }
+
+  /** Sorted, disjoint `[lo, hi)` ranges of `fine`-level CELL VALUES
+    * (`(morton << 5) | fine`) covering the bbox: the cover is taken at the
+    * finest level whose cell count stays ≤ `maxCells`, each cover cell is
+    * expanded to the value range of its `fine`-level descendants (children
+    * share the morton prefix, so the range is contiguous), and adjacent
+    * ranges are coalesced.
+    *
+    * SUPERSET GUARANTEE: a point inside the bbox [[encode]]s (same monotone
+    * floor/clamp arithmetic) to a fine cell whose ancestor is in the cover,
+    * hence whose value lies in one of the ranges — so `zcell ∈ ranges` is a
+    * sound prefilter for the exact bbox predicate. Antimeridian boxes
+    * (lonMin > lonMax) wrap like [[coverBBox]]. */
+  def coverRanges(latMin: Double, latMax: Double, lonMin: Double,
+                  lonMax: Double, fine: Int, maxCells: Int): Seq[(Long, Long)] = {
+    require(fine >= 0 && fine <= MaxLevel && maxCells >= 1)
+    var l = fine
+    while (l > 0 && coverCount(latMin, latMax, lonMin, lonMax, l) > maxCells) l -= 1
+    val shift = 2 * (fine - l) + 5
+    val raw = coverBBox(latMin, latMax, lonMin, lonMax, l)
+      .map { c =>
+        val m = morton(c)
+        ((m << shift) | fine.toLong, ((m + 1L) << shift) | fine.toLong)
+      }
+      .sortBy(_._1)
+    raw.foldLeft(List.empty[(Long, Long)]) {
+      case ((plo, phi) :: rest, (lo, hi)) if lo <= phi =>
+        (plo, math.max(phi, hi)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
   }
 
   /** Approximate meters per cell edge at a level (equator). */
