@@ -251,6 +251,25 @@ object Bench {
     results("spatial_cell_density") = median3("spatial_cell_density")(
       SpatialOps.cellDensity(nodes, 12).count())
 
+    // Z-order layout: the same region bbox (Paris hotspot, ~23% of nodes)
+    // answered through the pruned Z-clustered layout vs a full scan of the
+    // type-partitioned view — both parquet paths. At sf0.1 these rows are
+    // dispatch-bound; the 24M-point trendline lives in tools.BboxProbe
+    // (BASELINE.md), same protocol as the hot-tag rows.
+    val zPath = docsPath + "_zlayout"
+    if (!new java.io.File(zPath + "/_SUCCESS").exists())
+      graft.spatial.SpatialLayout.materialize(
+        typedView.filter(col("type") === "node")
+          .select(col("doc_id"), col("lat"), col("lon")),
+        zPath, coarseLevel = 4, fineLevel = 16, numFiles = 32)
+    val zLayout = spark.read.parquet(zPath)
+    val parisBox = col("lat") >= 45.0 && col("lat") <= 53.0 &&
+      col("lon") >= -2.0 && col("lon") <= 6.0
+    results("spatial_bbox_pruned") = median3("spatial_bbox_pruned")(
+      graft.spatial.SpatialLayout.bboxFilter(zLayout, 45.0, 53.0, -2.0, 6.0).count())
+    results("spatial_bbox_scan") = median3("spatial_bbox_scan")(
+      typedView.filter(col("type") === "node" && parisBox).count())
+
     val spatialRps = nNodes.toDouble * 2 / (tPip + results("spatial_tile_join"))
 
     // --- training-data ops ----------------------------------------------------

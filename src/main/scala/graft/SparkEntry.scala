@@ -165,6 +165,16 @@ object SparkEntry {
          |    AND (lon >= 170.005 OR lon <= -150.005)
          |ORDER BY box_id, id""".stripMargin,
 
+    "spatial_bbox_hot" ->
+      s"""SELECT id FROM (
+         |  SELECT $idExpr AS id, $latExpr AS lat, $lonExpr AS lon,
+         |         o_orderkey AS k
+         |  FROM orders WHERE o_orderkey % 20 < 14) p
+         |WHERE lat >= -20.005 AND lat <= 40.005
+         |  AND lon >= -100.005 AND lon <= 30.005
+         |  AND (k % 21 = 0 OR k % 9 + 1 >= 8)
+         |ORDER BY id""".stripMargin,
+
     "spatial_grid_density" ->
       s"""SELECT cx, cy, count(*) AS n FROM (
          |  SELECT CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) AS cx,

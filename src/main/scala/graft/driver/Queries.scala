@@ -38,6 +38,31 @@ object Queries {
       }))
   }
 
+  /** Per-process scratch materialization, built once per (kind, sfDir) —
+    * gates that share an expensive layout (the hot-key view, the Z layout)
+    * pay its build cost once per Verify run, pid-suffixed so concurrent
+    * runs never clobber each other, cleaned up at exit. */
+  private val scratch = scala.collection.mutable.Map.empty[String, String]
+  private def materializedOnce(kind: String, sfDir: String)
+                              (build: String => Unit): String =
+    scratch.synchronized {
+      scratch.getOrElseUpdate(kind + ":" + sfDir, {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-$kind-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+            "-" + ProcessHandle.current().pid()).toString
+        deleteOnExit(dir)
+        build(dir)
+        dir
+      })
+    }
+
+  /** The hot-key materialized view (FilterEngine.materializeView), shared
+    * by `ofl_hot_filter` and the layout-composition gates. */
+  private def hotViewDir(spark: SparkSession, sfDir: String): String =
+    materializedOnce("hotview", sfDir) { dir =>
+      FilterEngine.materializeView(TpchOsm.docs(spark, sfDir), dir)
+    }
+
   /** Deterministic id-list file for `in (<'file')`: "3 6 9 … 300". */
   private lazy val idFilePath: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempFile("graft-oracle-ids", ".txt")
@@ -108,16 +133,7 @@ object Queries {
     // cold key (priority is not in HotTags), so both compile paths are
     // oracle-checked in one query
     "ofl_hot_filter" -> { (spark, sfDir) =>
-      // per-process path (pid suffix: concurrent Verify runs must not
-      // overwrite each other's in-flight materialization) cleaned up by a
-      // shutdown hook — a fresh createTempDirectory per run with no
-      // cleanup would accumulate full view copies under /tmp forever
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-hotview-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
-          "-" + ProcessHandle.current().pid()).toString
-      Queries.deleteOnExit(dir)
-      FilterEngine.materializeView(TpchOsm.docs(spark, sfDir), dir)
-      val view = spark.read.parquet(dir)
+      val view = spark.read.parquet(Queries.hotViewDir(spark, sfDir))
       // '110' keeps the oneway/housenumber conjunct LIVE at sf0.01 (six
       // matching rows): k%10=0 ∧ k%11=0 ∧ k%250=110 is satisfiable,
       // unlike '42' (k%250=42 forces k%10=2 — contradiction), so a hot
@@ -198,6 +214,23 @@ object Queries {
       val b = SpatialLayout.bboxFilter(layout, -35.005, -5.005, 170.005, -150.005)
         .select(lit(2L).as("box_id"), col("id"))
       a.unionByName(b).orderBy("box_id", "id")
+    },
+    // BOTH metadata-driven prune layers on ONE table: the Z layout is
+    // materialized over the HOT-KEY VIEW (t_<key> columns + graft_hot_key
+    // metadata ride through SpatialLayout.materialize), so the single scan
+    // carries pcell directory pruning + pushed zcell ranges + pushed
+    // t_highway predicates, and filterView compiles hot on the layout
+    "spatial_bbox_hot" -> { (spark, sfDir) =>
+      val zdir = Queries.materializedOnce("zlayout-hot", sfDir) { dir =>
+        val nodes = spark.read.parquet(Queries.hotViewDir(spark, sfDir))
+          .filter(col("type") === "node")
+        SpatialLayout.materialize(nodes, dir, coarseLevel = 3, fineLevel = 14)
+      }
+      val layout = spark.read.parquet(zdir)
+      FilterEngine.filterView(
+        SpatialLayout.bboxFilter(layout, -20.005, 40.005, -100.005, 30.005),
+        "highway == residential or @version >= 8")
+        .select("id").orderBy("id")
     },
     "spatial_tile_assign" -> { (spark, sfDir) =>
       val nodes = TpchOsm.view(spark, sfDir)

@@ -107,6 +107,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hotDf.exceptAll(coldDf).isEmpty && coldDf.exceptAll(hotDf).isEmpty)
   }
 
+  test("Z layout over the hot view composes all three prune layers in one scan") {
+    // directory pruning (pcell), row-group skipping (zcell ranges), and the
+    // hot-tag pushdown must coexist on a single parquet scan: the Z layout
+    // carries the t_<key> columns AND their graft_hot_key metadata through
+    val nodes = spark.read.parquet(viewPath).filter(col("type") === "node")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zhot").toString
+    graft.spatial.SpatialLayout.materialize(nodes, dir, coarseLevel = 3,
+      fineLevel = 14, numFiles = 8)
+    val layout = spark.read.parquet(dir)
+    val df = FilterEngine.filterView(
+      graft.spatial.SpatialLayout.bboxFilter(layout, -20.005, 40.005,
+        -100.005, 30.005),
+      "highway == residential")
+    val p = plan(df)
+    assert("PartitionFilters: \\[pcell#\\d+ IN(SET | \\()".r.findFirstIn(p).isDefined,
+      s"missing pcell directory pruning in:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(zcell"),
+      s"zcell ranges not pushed: $pushed")
+    assert(pushed.contains("EqualTo(t_highway,residential)"),
+      s"hot-tag predicate not pushed alongside the spatial prunes: $pushed")
+    // and the composition is semantically exact vs the unpruned view path
+    val want = spark.read.parquet(viewPath)
+      .filter(col("type") === "node" &&
+        col("lat") >= -20.005 && col("lat") <= 40.005 &&
+        col("lon") >= -100.005 && col("lon") <= 30.005)
+      .filter(Compiler.compileEffective(Parser.parse("highway == residential")))
+      .select("doc_id")
+    val got = df.select("doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("whole-stage codegen covers the scalar filter path") {
     val view = spark.read.parquet(viewPath)
     val p = plan(FilterEngine.filterView(view, "@version >= 2 and @id != 7"))

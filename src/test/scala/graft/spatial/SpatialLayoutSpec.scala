@@ -116,7 +116,7 @@ class SpatialLayoutSpec extends AnyFunSuite {
     val layout = spark.read.parquet(layoutPath)
     val df = SpatialLayout.bboxFilter(layout, 10.005, 25.005, -60.005, -20.005)
     val p = df.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[pcell#\\d+ IN \\(".r.findFirstIn(p).isDefined,
+    assert("PartitionFilters: \\[pcell#\\d+ IN(SET | \\()".r.findFirstIn(p).isDefined,
       s"missing pcell directory pruning in:\n$p")
     // the plan STRING truncates long filter lists, so pin the pushed
     // range filter through the scan's pushedDownFilters, not substrings
