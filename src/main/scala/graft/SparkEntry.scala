@@ -30,6 +30,20 @@ object SparkEntry {
   private val lonExpr = "((o_orderkey * 104729) % 36000 * 100000 - 1800000000) / 10000000.0"
   private val nodesP = s"SELECT $idExpr AS id, $latExpr AS lat, $lonExpr AS lon FROM orders WHERE o_orderkey % 20 < 14"
 
+  private lazy val pipOracle: String =
+    s"""WITH p AS ($nodesP)
+       |SELECT CAST(1 AS BIGINT) AS polygon_id, id FROM p
+       |  WHERE lat > -20.005 AND lat < 20.005 AND lon > -60.005 AND lon < -20.005
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), id FROM p
+       |  WHERE lat > 30.005 AND lat < 60.005 AND lon > 100.005 AND lon < 150.005
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), id FROM p
+       |  WHERE (60.0*(lat-0.005) - 30.0*(lon-100.005)) < 0
+       |    AND (60.01*(lon-160.005)) < 0
+       |    AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0
+       |ORDER BY polygon_id, id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ofl_tag_version" ->
       s"""SELECT $idExpr AS id, o_orderkey % 9 + 1 AS version, o_orderpriority AS usr
@@ -182,19 +196,9 @@ object SparkEntry {
          |  FROM ($nodesP) p) g
          |GROUP BY cx, cy ORDER BY cx, cy""".stripMargin,
 
-    "spatial_pip" ->
-      s"""WITH p AS ($nodesP)
-         |SELECT CAST(1 AS BIGINT) AS polygon_id, id FROM p
-         |  WHERE lat > -20.005 AND lat < 20.005 AND lon > -60.005 AND lon < -20.005
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), id FROM p
-         |  WHERE lat > 30.005 AND lat < 60.005 AND lon > 100.005 AND lon < 150.005
-         |UNION ALL
-         |SELECT CAST(3 AS BIGINT), id FROM p
-         |  WHERE (60.0*(lat-0.005) - 30.0*(lon-100.005)) < 0
-         |    AND (60.01*(lon-160.005)) < 0
-         |    AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0
-         |ORDER BY polygon_id, id""".stripMargin,
+    "spatial_pip" -> pipOracle,
+    // same polygons through the Z layout — one oracle, two engine paths
+    "spatial_pip_pruned" -> pipOracle,
 
     "spatial_knn" ->
       s"""WITH p AS ($nodesP),

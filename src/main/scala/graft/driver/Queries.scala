@@ -63,6 +63,28 @@ object Queries {
       FilterEngine.materializeView(TpchOsm.docs(spark, sfDir), dir)
     }
 
+  /** The nodes Z layout (SpatialLayout.materialize over id/lat/lon),
+    * shared by `spatial_bbox_prune` and `spatial_pip_pruned`. */
+  private def zLayoutDir(spark: SparkSession, sfDir: String): String =
+    materializedOnce("zlayout", sfDir) { dir =>
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      SpatialLayout.materialize(nodes, dir, coarseLevel = 3, fineLevel = 14)
+    }
+
+  /** The `spatial_pip`/`spatial_pip_pruned` polygon fixture (mid-ocean
+    * rectangles + a triangle; oracle = half-plane inequalities). */
+  private def pipPolys(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(Seq((-20.005, -60.005), (-20.005, -20.005), (20.005, -20.005), (20.005, -60.005)))),
+      (2L, Seq(Seq((30.005, 100.005), (30.005, 150.005), (60.005, 150.005), (60.005, 100.005)))),
+      (3L, Seq(Seq((0.005, 100.005), (30.005, 160.005), (-30.005, 160.005)))))
+      .toDF("polygon_id", "rings")
+      .withColumn("rings",
+        col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+  }
+
   /** Deterministic id-list file for `in (<'file')`: "3 6 9 … 300". */
   private lazy val idFilePath: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempFile("graft-oracle-ids", ".txt")
@@ -157,17 +179,17 @@ object Queries {
         .orderBy("cx", "cy")
     },
     "spatial_pip" -> { (spark, sfDir) =>
-      import spark.implicits._
-      val polys = Seq(
-        (1L, Seq(Seq((-20.005, -60.005), (-20.005, -20.005), (20.005, -20.005), (20.005, -60.005)))),
-        (2L, Seq(Seq((30.005, 100.005), (30.005, 150.005), (60.005, 150.005), (60.005, 100.005)))),
-        (3L, Seq(Seq((0.005, 100.005), (30.005, 160.005), (-30.005, 160.005)))))
-        .toDF("polygon_id", "rings")
-        .withColumn("rings",
-          col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
       val nodes = TpchOsm.view(spark, sfDir)
         .filter(col("type") === "node").select("id", "lat", "lon")
-      SpatialOps.polygonJoin(nodes, polys, level = 5)
+      SpatialOps.polygonJoin(nodes, Queries.pipPolys(spark), level = 5)
+        .select(col("polygon_id"), col("id")).orderBy("polygon_id", "id")
+    },
+    // the same join answered through the Z layout: the scan prefilters to
+    // the polygons' cover ranges (directory pruning + pushed zcell ranges)
+    // before the cover-prejoin + refine — must match spatial_pip's oracle
+    "spatial_pip_pruned" -> { (spark, sfDir) =>
+      val layout = spark.read.parquet(Queries.zLayoutDir(spark, sfDir))
+      SpatialLayout.polygonJoin(layout, Queries.pipPolys(spark), level = 5)
         .select(col("polygon_id"), col("id")).orderBy("polygon_id", "id")
     },
     "spatial_knn" -> { (spark, sfDir) =>
@@ -201,14 +223,7 @@ object Queries {
     // antimeridian (the coverBBox wrap-collision bug a plain-filter oracle
     // would catch if it regressed). Results must equal the exact predicate.
     "spatial_bbox_prune" -> { (spark, sfDir) =>
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-zlayout-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
-          "-" + ProcessHandle.current().pid()).toString
-      Queries.deleteOnExit(dir)
-      val nodes = TpchOsm.view(spark, sfDir)
-        .filter(col("type") === "node").select("id", "lat", "lon")
-      SpatialLayout.materialize(nodes, dir, coarseLevel = 3, fineLevel = 14)
-      val layout = spark.read.parquet(dir)
+      val layout = spark.read.parquet(Queries.zLayoutDir(spark, sfDir))
       val a = SpatialLayout.bboxFilter(layout, 10.005, 25.005, -60.005, -20.005)
         .select(lit(1L).as("box_id"), col("id"))
       val b = SpatialLayout.bboxFilter(layout, -35.005, -5.005, 170.005, -150.005)

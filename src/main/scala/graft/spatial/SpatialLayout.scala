@@ -113,4 +113,59 @@ object SpatialLayout {
         pruned.filter(zPred && exact)
     }
   }
+
+  /** Spatial join over a Z layout: the scan is prefiltered to the union of
+    * the polygons' outer-ring-bbox cover ranges (directory pruning + pushed
+    * zcell ranges), then [[SpatialOps.polygonJoin]] runs its cover-prejoin
+    * + exact-refine on the survivors. Every polygon point lies inside its
+    * outer-ring bbox, so the prefilter is a superset and results equal the
+    * unpruned join — but a continental points table joined against city
+    * polygons reads only the cities' storage, not the continent's. The
+    * polygon side is driver-collected (broadcast-small by the same contract
+    * as SpatialOps.polygonJoin); like that join, antimeridian-SPANNING
+    * polygon rings are out of contract (boxes use plain lon min/max). A
+    * non-layout table falls through to the plain join. Internal layout
+    * columns are dropped from the output. */
+  def polygonJoin(layout: DataFrame, polygons: DataFrame, level: Int = 14,
+                  maxRanges: Int = 64,
+                  maxPartitionList: Int = 1024): DataFrame = {
+    val zField = layout.schema.fields.find(f =>
+      f.name == SortCol && f.metadata.contains(MetaFine) &&
+        f.metadata.contains(MetaCoarse))
+    zField match {
+      case None => SpatialOps.polygonJoin(layout, polygons, level)
+      case Some(f) =>
+        val fine = f.metadata.getLong(MetaFine).toInt
+        val coarse = f.metadata.getLong(MetaCoarse).toInt
+        val outer = col("rings").getItem(0)
+        val boxes = polygons.select(
+          array_min(transform(outer, p => p.getField("lat"))),
+          array_max(transform(outer, p => p.getField("lat"))),
+          array_min(transform(outer, p => p.getField("lon"))),
+          array_max(transform(outer, p => p.getField("lon"))))
+          .collect()
+          .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        // maxRanges is a TOTAL budget split across the polygons: a per-box
+        // budget multiplied by the polygon count once produced a ~4000-term
+        // Or tree whose per-row evaluation in the residual Filter cost 14×
+        // the scan it was saving
+        val perBox = math.max(1, maxRanges / math.max(1, boxes.length))
+        val ranges = ZCell.mergeRanges(boxes.toSeq.flatMap {
+          case (latMin, latMax, lonMin, lonMax) =>
+            ZCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, perBox)
+        })
+        val zPred = ranges
+          .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
+          .reduce(_ or _)
+        val pCells = boxes.toSeq.flatMap { case (latMin, latMax, lonMin, lonMax) =>
+          ZCell.coverBBox(latMin, latMax, lonMin, lonMax, coarse)
+        }.distinct
+        val pruned =
+          if (layout.columns.contains(PartCol) && pCells.size <= maxPartitionList)
+            layout.filter(col(PartCol).isin(pCells: _*))
+          else layout
+        SpatialOps.polygonJoin(pruned.filter(zPred), polygons, level)
+          .drop(SortCol, PartCol)
+    }
+  }
 }

@@ -167,18 +167,20 @@ object ZCell {
     var l = fine
     while (l > 0 && coverCount(latMin, latMax, lonMin, lonMax, l) > maxCells) l -= 1
     val shift = 2 * (fine - l) + 5
-    val raw = coverBBox(latMin, latMax, lonMin, lonMax, l)
+    mergeRanges(coverBBox(latMin, latMax, lonMin, lonMax, l)
       .map { c =>
         val m = morton(c)
         ((m << shift) | fine.toLong, ((m + 1L) << shift) | fine.toLong)
-      }
-      .sortBy(_._1)
-    raw.foldLeft(List.empty[(Long, Long)]) {
+      })
+  }
+
+  /** Sort + coalesce overlapping/adjacent `[lo, hi)` ranges. */
+  def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    rs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
       case ((plo, phi) :: rest, (lo, hi)) if lo <= phi =>
         (plo, math.max(phi, hi)) :: rest
       case (acc, r) => r :: acc
     }.reverse
-  }
 
   /** Approximate meters per cell edge at a level (equator). */
   def edgeMeters(level: Int): Double = 40075017.0 / (1 << level)

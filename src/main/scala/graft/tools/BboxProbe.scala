@@ -89,7 +89,21 @@ object BboxProbe {
         f"flat=$fT%6.2f s ($fRead/$fFiles files)  ${fT / zT}%5.1fx")
       rows += f""""$name":{"rows":$zc,"z_sec":$zT%.3f,"flat_sec":$fT%.3f,"speedup":${fT / zT}%.2f,"z_files":$zRead,"flat_files":$fRead}"""
     }
-    println(s"""{"bbox_probe":true,"points":$n,"total_files_z":$zFiles,"total_files_flat":$fFiles,${rows.result().mkString(",")}}""")
+    // pruned spatial join: the hotspot polygons (a few km across) against
+    // the full corpus — the Z path reads only polygon-adjacent storage
+    import spark.implicits._
+    val polys = DeterministicGen.polygons()
+      .map(p => (p.polygon_id, p.rings.map(_.map { case (la, lo) => (la, lo) })))
+      .toDF("polygon_id", "rings")
+      .withColumn("rings",
+        col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+    val zj = SpatialLayout.polygonJoin(zLayout, polys, level = 13)
+    val fj = graft.spatial.SpatialOps.polygonJoin(flat, polys, level = 13)
+    val zjc = zj.count(); val fjc = fj.count()
+    require(zjc == fjc, s"join: pruned $zjc != full $fjc")
+    val zjT = med3(zj.count()); val fjT = med3(fj.count())
+    println(f"BBOX pip_join   rows=$zjc%10d  z=$zjT%6.2f s  flat=$fjT%6.2f s  ${fjT / zjT}%5.1fx")
+    println(s"""{"bbox_probe":true,"points":$n,"total_files_z":$zFiles,"total_files_flat":$fFiles,${rows.result().mkString(",")},"pip_join":{"rows":$zjc,"z_sec":$zjT,"flat_sec":$fjT}}""")
     spark.stop()
   }
 }

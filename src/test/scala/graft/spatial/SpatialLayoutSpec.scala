@@ -178,6 +178,42 @@ class SpatialLayoutSpec extends AnyFunSuite {
     }
   }
 
+  // --- pruned spatial join ----------------------------------------------------
+
+  test("layout polygonJoin equals the unpruned join and prunes the scan") {
+    val polys = DeterministicGen.polygons()
+      .map(p => (p.polygon_id, p.rings.map(_.map { case (la, lo) => (la, lo) })))
+      .toDF("polygon_id", "rings")
+      .withColumn("rings",
+        col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+    val layout = spark.read.parquet(layoutPath)
+    val pruned = SpatialLayout.polygonJoin(layout, polys, level = 13)
+    val plain = SpatialOps.polygonJoin(
+      nodesDF.select("doc_id", "lat", "lon"), polys, level = 13)
+    val got = pruned.select("polygon_id", "doc_id")
+    val want = plain.select("polygon_id", "doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(want.count() > 0, "degenerate fixture: no polygon matches")
+    // internal layout columns don't leak into the join output
+    assert(!pruned.columns.contains(SpatialLayout.SortCol) &&
+      !pruned.columns.contains(SpatialLayout.PartCol))
+    // the layout-side scan carries both prune layers (join plans sit under
+    // an AdaptiveSparkPlanExec wrapper whose leaves aren't walkable from
+    // the root — unwrap it first)
+    val phys = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.getOrElse("PushedFilters", "").contains("zcell") => s
+    }
+    assert(scan.isDefined, "no pruned layout scan in the join plan")
+    assert(scan.get.metadata.getOrElse("PartitionFilters", "").contains("pcell"),
+      s"no directory pruning: ${scan.get.metadata.get("PartitionFilters")}")
+  }
+
   // --- degradation -----------------------------------------------------------
 
   test("a non-layout table degrades to the exact filter with identical rows") {
