@@ -103,6 +103,38 @@ object Bench {
     t
   }
 
+  /** Multi-core calibration leg: the ALU spin fanned across `threads` JVM
+    * threads (work/4 each), wall ≈ threads·work / effective-cores. BOTH
+    * single-thread probes are blind to co-tenant CPU STEAL — observed in
+    * round 5: ALU and mem legs idle-band clean while every 32-thread suite
+    * row ran 2.5-4× slow, and an 8-process burn confirmed the host's
+    * effective core count had collapsed. This leg is the probe for that
+    * mode; idle band in BASELINE.md. */
+  private def calibratePar(threads: Int): Double = {
+    final class Spinner(seed: Long) extends Thread {
+      @volatile var out = 0L
+      override def run(): Unit = {
+        var acc = seed
+        var i = 0
+        while (i < 25000000) {
+          acc ^= acc << 13; acc ^= acc >>> 7; acc ^= acc << 17
+          acc *= 0x2545f4914f6cdd1dL
+          i += 1
+        }
+        out = acc
+      }
+    }
+    def fan(): Long = {
+      val ts = (1 to threads).map(t => new Spinner(t.toLong))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      ts.map(_.out).sum
+    }
+    fan() // JIT warm
+    val t = time(fan())
+    if (fan() == 42L) println("x")
+    t
+  }
+
   val filterSuite: Seq[String] = Seq(
     "highway == residential",
     "highway =~ '_link$'",
@@ -161,6 +193,7 @@ object Bench {
     // the production layout for repeated queries) -----------------------------
     val calibBefore = calibrate()
     val calibMemBefore = calibrateMem()
+    val calibParBefore = calibratePar(cpus.toInt)
 
     // headline rows use the hot-tag pushdown columns the view materialized
     // (the production path — FilterEngine.filterView); the cold row below
@@ -269,6 +302,17 @@ object Bench {
       graft.spatial.SpatialLayout.bboxFilter(zLayout, 45.0, 53.0, -2.0, 6.0).count())
     results("spatial_bbox_scan") = median3("spatial_bbox_scan")(
       typedView.filter(col("type") === "node" && parisBox).count())
+
+    // way-geometry materialization (add-locations-to-ways analog): refs
+    // explode → node equi-join → ordered reassembly + exact-integer metrics
+    results("spatial_way_geom") = median3("spatial_way_geom")(
+      graft.spatial.GeomOps.wayMetrics(
+        graft.spatial.GeomOps.addLocations(typedView)).count())
+    // all-pairs-within-20m self-join over the hotspot-clustered nodes
+    // (haversine refine, cover-cell prejoin at ~19 m cells)
+    results("spatial_distance_join") = median3("spatial_distance_join")(
+      graft.spatial.GeomOps.withinDistanceMeters(
+        nodes, 20.0, level = 20, key = "doc_id").count())
 
     val spatialRps = nNodes.toDouble * 2 / (tPip + results("spatial_tile_join"))
 
@@ -426,6 +470,7 @@ object Bench {
       d.unpersist()
     }
 
+    val calibParAfter = calibratePar(cpus.toInt)
     val calibMemAfter = calibrateMem()
     val calibAfter = calibrate()
 
@@ -435,7 +480,7 @@ object Bench {
     val spreadJson = spreads.map { case (k, (mn, mx)) =>
       "\"" + k + f"""\":[$mn%.3f,$mx%.3f]""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spreadJson,"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,"calib_mem_before_s":$calibMemBefore%.3f,"calib_mem_after_s":$calibMemAfter%.3f,"sim_lsh_recall_at10":$lshRecall%.3f,"sim_ivf_recall_at10":$ivfRecall%.3f,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_cold_elements_per_sec":$filterColdEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv,"media_rows":$nMedia,"audio_rows":$nAudio}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spreadJson,"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,"calib_mem_before_s":$calibMemBefore%.3f,"calib_mem_after_s":$calibMemAfter%.3f,"calib_par_before_s":$calibParBefore%.3f,"calib_par_after_s":$calibParAfter%.3f,"sim_lsh_recall_at10":$lshRecall%.3f,"sim_ivf_recall_at10":$ivfRecall%.3f,"sf":"$sfDir","cpus":$cpus,"docs_rows":$nDocs,"filter_elements_per_sec":$filterEps%.0f,"filter_cold_elements_per_sec":$filterColdEps%.0f,"filter_spans_elements_per_sec":$filterSpansEps%.0f,"filter_spans_fast_elements_per_sec":$filterFastEps%.0f,"spatial_rows_per_sec":$spatialRps%.0f,"winnow_docs_per_sec":$winnowDps%.0f,"hv_docs_rows":$nHv,"media_rows":$nMedia,"audio_rows":$nAudio}"""
     println(json)
     // belt-and-braces for the driver: a file copy free of any logger prefixing
     val out = java.nio.file.Paths.get("/root/repo/target/bench/bench.json")

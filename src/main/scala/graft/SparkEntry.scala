@@ -231,6 +231,60 @@ object SparkEntry {
          |SELECT p.id, t.p_partkey FROM p JOIN t ON p.cx = t.cx AND p.cy = t.cy
          |ORDER BY id, p_partkey""".stripMargin,
 
+    // way geometry re-derived arithmetically: refs from the nds generator
+    // formula (j=1..k%5+2 → (k+j·11)%1000, dup of j=1 appended when k%3=0,
+    // pos 9 > any j keeps it LAST like the engine's array order), node
+    // coords from the latE7/lonE7 formulas joined on the SIGNED id (k%97=0
+    // nodes carry id=-k, which a positive ref never matches — except
+    // o_orderkey 0, whose -k IS 0 and does resolve ref 0; an unsigned-vs-
+    // signed mismatch here cost 30 ways' metrics in the first cut);
+    // measures over the resolved subsequence in order — exact BIGINT math
+    "spatial_way_geom" ->
+      s"""WITH w AS (
+         |  SELECT o_orderkey AS k, $idExpr AS id FROM orders
+         |  WHERE o_orderkey % 20 >= 14 AND o_orderkey % 20 < 19),
+         |r AS (
+         |  SELECT k, id, u.j AS pos, (k + u.j * 11) % 1000 AS ref
+         |  FROM w, UNNEST(generate_series(1, 6)) AS u(j)
+         |  WHERE u.j <= k % 5 + 2
+         |  UNION ALL
+         |  SELECT k, id, 9 AS pos, (k + 11) % 1000 AS ref FROM w WHERE k % 3 = 0),
+         |n AS (
+         |  SELECT $idExpr AS nid,
+         |         CAST((o_orderkey * 7919) % 17000 * 100000 - 850000000 AS BIGINT) AS late7,
+         |         CAST((o_orderkey * 104729) % 36000 * 100000 - 1800000000 AS BIGINT) AS lone7
+         |  FROM orders WHERE o_orderkey % 20 < 14),
+         |g AS (
+         |  SELECT id,
+         |    CAST(count(*) AS BIGINT) AS n_refs,
+         |    CAST(count(late7) AS BIGINT) AS n_resolved,
+         |    min(late7) AS min_lat_e7, max(late7) AS max_lat_e7,
+         |    min(lone7) AS min_lon_e7, max(lone7) AS max_lon_e7,
+         |    list(late7 ORDER BY pos) FILTER (WHERE late7 IS NOT NULL) AS la,
+         |    list(lone7 ORDER BY pos) FILTER (WHERE late7 IS NOT NULL) AS lo
+         |  FROM r LEFT JOIN n ON n.nid = r.ref
+         |  GROUP BY id)
+         |SELECT id, n_refs, n_resolved,
+         |  min_lat_e7, max_lat_e7, min_lon_e7, max_lon_e7,
+         |  CAST(COALESCE(list_sum(list_transform(generate_series(2, len(la)), i ->
+         |      abs(la[i] - la[i-1]) + abs(lo[i] - lo[i-1]))), 0) AS BIGINT) AS path_e7,
+         |  CASE WHEN len(la) >= 4 AND la[1] = la[len(la)] AND lo[1] = lo[len(lo)]
+         |       THEN CAST(abs(list_sum(list_transform(generate_series(1, len(la) - 1), i ->
+         |            (lo[i] // 100) * (la[i+1] // 100) - (lo[i+1] // 100) * (la[i] // 100)))) AS BIGINT)
+         |       ELSE NULL END AS area2_e5
+         |FROM g ORDER BY id""".stripMargin,
+
+    // the cross product the engine must never run: brute all-pairs planar
+    // distance — same double formula text as the engine's refine
+    "spatial_distance_join" ->
+      s"""WITH p AS ($nodesP)
+         |SELECT a.id AS key_a, b.id AS key_b
+         |FROM p a, p b
+         |WHERE a.id < b.id
+         |  AND (b.lat - a.lat) * (b.lat - a.lat)
+         |    + (b.lon - a.lon) * (b.lon - a.lon) <= 1.0
+         |ORDER BY key_a, key_b""".stripMargin,
+
     "spatial_tile_assign" ->
       s"""SELECT id,
          |  CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) // 64 AS cx,

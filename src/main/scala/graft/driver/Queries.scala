@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.compile.Compiler
 import graft.engine.FilterEngine
 import graft.ops.{Dedup, LangId, Similarity, TextOps}
-import graft.spatial.{SpatialLayout, SpatialOps}
+import graft.spatial.{GeomOps, SpatialLayout, SpatialOps}
 
 /** The driver-verified query suite: one entry per operator family
   * (SURVEY.md §2 + training-data ops + spatial layer). Every query is a real
@@ -255,6 +255,28 @@ object Queries {
       nodes.select(col("id"),
         SpatialOps.cellX(tile).as("cx"), SpatialOps.cellY(tile).as("cy"))
         .orderBy("id")
+    },
+
+    // way-geometry materialization (the libosmium add-locations-to-ways
+    // analog as a distributed equi-join + ordered reassembly) with
+    // exact-integer measures — bbox/path/shoelace all BIGINT so the oracle
+    // is arithmetic, not trig
+    "spatial_way_geom" -> { (spark, sfDir) =>
+      val view = TpchOsm.view(spark, sfDir)
+      GeomOps.wayMetrics(GeomOps.addLocations(view))
+        .select(col("way_id").as("id"), col("n_refs"), col("n_resolved"),
+          col("min_lat_e7"), col("max_lat_e7"),
+          col("min_lon_e7"), col("max_lon_e7"),
+          col("path_e7"), col("area2_e5"))
+        .orderBy("id")
+    },
+    // all-pairs-within-radius self-join: cover-cell prejoin + exact planar
+    // refine (never a cross product; the oracle IS the cross product)
+    "spatial_distance_join" -> { (spark, sfDir) =>
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      GeomOps.withinDistanceDeg(nodes, radiusDeg = 1.0, level = 7)
+        .select("key_a", "key_b").orderBy("key_a", "key_b")
     },
 
     // --- text analysis ----------------------------------------------------------

@@ -154,9 +154,12 @@ object SpatialLayout {
           case (latMin, latMax, lonMin, lonMax) =>
             ZCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, perBox)
         })
-        val zPred = ranges
-          .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
-          .reduce(_ or _)
+        // empty polygon set ⇒ empty join (reduce over zero ranges would throw)
+        val zPred =
+          if (ranges.isEmpty) lit(false)
+          else ranges
+            .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
+            .reduce(_ or _)
         val pCells = boxes.toSeq.flatMap { case (latMin, latMax, lonMin, lonMax) =>
           ZCell.coverBBox(latMin, latMax, lonMin, lonMax, coarse)
         }.distinct

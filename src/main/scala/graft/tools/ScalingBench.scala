@@ -65,6 +65,17 @@ object ScalingBench {
       return
     }
 
+    // mode "geom": the way-geometry join family — refs-explode → node
+    // equi-join → ordered reassembly (addLocations+wayMetrics over the docs
+    // fixture's typed view) and the all-pairs-within-radius self-join over
+    // the 12M-point hotspot fixture. Both are shuffle-bound joins whose
+    // N-vs-4N behavior the filter/spatial suites don't stand in for.
+    if (args.length > 2 && args(2) == "geom") {
+      runGeom(spark, master, cores, n)
+      spark.stop()
+      return
+    }
+
     // mode "typed" (default) measures the materialized-view suite (cold
     // array-path compile, comparable with the r2/r3 tables); mode "hot"
     // measures the same suite over the HotTags layout with the hot-aware
@@ -136,6 +147,51 @@ object ScalingBench {
 
     println(f"""{"scaling_probe":true,"mode":"$mode","master":"$master","cores":$cores,"docs":$nDocs,"filter_sec":$tFilter%.2f,"filter_elements_per_sec":$filterEps%.0f,"spatial_sec":$tSpatial%.2f,"spatial_rows_per_sec":$spatialRps%.0f}""")
     spark.stop()
+  }
+
+  /** Geometry-join scaling run (fixtures cached and shared across both
+    * parallelism levels, like runOps). Way assembly reads the materialized
+    * view of the docs fixture; the distance join reads the 12M-point
+    * fixture with a 5 m radius at ~10 m cells (answer ≈ 13M pairs — the
+    * query's own output, not a plan artifact). */
+  private def runGeom(spark: SparkSession, master: String, cores: Int,
+                      n: Long): Unit = {
+    import graft.spatial.GeomOps
+    val docsPath = s"/root/repo/target/bench/docs_dist_n$n"
+    val viewPath = docsPath + "_view"
+    if (!new java.io.File(docsPath + "/_SUCCESS").exists())
+      DeterministicGen.distributedDocs(spark, n,
+        parts = math.max(128, (n / 200000).toInt))
+        .write.mode("overwrite").partitionBy("type").parquet(docsPath)
+    if (!new java.io.File(viewPath + "/_SUCCESS").exists())
+      FilterEngine.materializeView(spark.read.parquet(docsPath), viewPath)
+    val view = spark.read.parquet(viewPath)
+    val nDocs = view.count()
+
+    val ptsN = 12000000L
+    val ptsPath = s"/root/repo/target/bench/pts_dist_n$ptsN"
+    if (!new java.io.File(ptsPath + "/_SUCCESS").exists())
+      DeterministicGen.pointsDF(spark, ptsN)
+        .write.mode("overwrite").parquet(ptsPath)
+    val points = spark.read.parquet(ptsPath)
+      .withColumnRenamed("doc_id", "id")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val wayGeom = GeomOps.wayMetrics(GeomOps.addLocations(view))
+    wayGeom.count() // warm: analysis + codegen + JIT
+    val tWay = Seq(time(wayGeom.count()), time(wayGeom.count()),
+      time(wayGeom.count())).min
+    System.gc()
+    System.err.println(f"GEOM_PART way_geom $tWay%.2f s")
+
+    val dist = GeomOps.withinDistanceMeters(points, 5.0, level = 21)
+    val nPairs = dist.count() // warm
+    val tDist = Seq(time(dist.count()), time(dist.count())).min
+    System.err.println(f"GEOM_PART distance_join $tDist%.2f s ($nPairs pairs)")
+
+    println(f"""{"scaling_probe":true,"mode":"geom","master":"$master","cores":$cores,"docs":$nDocs,"pts_rows":$ptsN,"dist_pairs":$nPairs,"way_geom_sec":$tWay%.2f,"way_geom_rows_per_sec":${nDocs / tWay}%.0f,"distance_join_sec":$tDist%.2f,"distance_join_rows_per_sec":${ptsN / tDist}%.0f}""")
   }
 
   /** Ops-layer scaling run: same parquet fixtures, same jobs, two
