@@ -55,7 +55,7 @@ object Bench {
     * timed before and after the suite, both emitted. Interpretation rule
     * (BASELINE.md): if either probe, or their ratio, drifts >~1.3× from the
     * idle-host band, the run was contended — rerun before citing numbers. */
-  private def calibrate(): Double = {
+  private[graft] def calibrate(): Double = {
     var acc = 0x9e3779b97f4a7c15L
     def spin(iters: Int): Long = {
       var i = 0
@@ -86,7 +86,7 @@ object Bench {
     while (i < a.length) { v ^= v << 13; v ^= v >>> 7; a(i) = v; i += 1 }
     a
   }
-  private def calibrateMem(): Double = {
+  private[graft] def calibrateMem(): Double = {
     def sweep(): Long = {
       var acc = 0L
       var p = 0
@@ -110,7 +110,7 @@ object Bench {
     * row ran 2.5-4× slow, and an 8-process burn confirmed the host's
     * effective core count had collapsed. This leg is the probe for that
     * mode; idle band in BASELINE.md. */
-  private def calibratePar(threads: Int): Double = {
+  private[graft] def calibratePar(threads: Int): Double = {
     final class Spinner(seed: Long) extends Thread {
       @volatile var out = 0L
       override def run(): Unit = {

@@ -44,6 +44,43 @@ object SparkEntry {
        |    AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0
        |ORDER BY polygon_id, id""".stripMargin
 
+  /** Way-geometry derivation shared by the way and relation oracles (no
+    * trailing ORDER BY so it can nest as a CTE body). */
+  private lazy val wayGeomBody: String =
+    s"""WITH w AS (
+       |  SELECT o_orderkey AS k, $idExpr AS id FROM orders
+       |  WHERE o_orderkey % 20 >= 14 AND o_orderkey % 20 < 19),
+       |r AS (
+       |  SELECT k, id, u.j AS pos, (k + u.j * 11) % 1000 AS ref
+       |  FROM w, UNNEST(generate_series(1, 6)) AS u(j)
+       |  WHERE u.j <= k % 5 + 2
+       |  UNION ALL
+       |  SELECT k, id, 9 AS pos, (k + 11) % 1000 AS ref FROM w WHERE k % 3 = 0),
+       |n AS (
+       |  SELECT $idExpr AS nid,
+       |         CAST((o_orderkey * 7919) % 17000 * 100000 - 850000000 AS BIGINT) AS late7,
+       |         CAST((o_orderkey * 104729) % 36000 * 100000 - 1800000000 AS BIGINT) AS lone7
+       |  FROM orders WHERE o_orderkey % 20 < 14),
+       |g AS (
+       |  SELECT id,
+       |    CAST(count(*) AS BIGINT) AS n_refs,
+       |    CAST(count(late7) AS BIGINT) AS n_resolved,
+       |    min(late7) AS min_lat_e7, max(late7) AS max_lat_e7,
+       |    min(lone7) AS min_lon_e7, max(lone7) AS max_lon_e7,
+       |    list(late7 ORDER BY pos) FILTER (WHERE late7 IS NOT NULL) AS la,
+       |    list(lone7 ORDER BY pos) FILTER (WHERE late7 IS NOT NULL) AS lo
+       |  FROM r LEFT JOIN n ON n.nid = r.ref
+       |  GROUP BY id)
+       |SELECT id, n_refs, n_resolved,
+       |  min_lat_e7, max_lat_e7, min_lon_e7, max_lon_e7,
+       |  CAST(COALESCE(list_sum(list_transform(generate_series(2, len(la)), i ->
+       |      abs(la[i] - la[i-1]) + abs(lo[i] - lo[i-1]))), 0) AS BIGINT) AS path_e7,
+       |  CASE WHEN len(la) >= 4 AND la[1] = la[len(la)] AND lo[1] = lo[len(lo)]
+       |       THEN CAST(abs(list_sum(list_transform(generate_series(1, len(la) - 1), i ->
+       |            (lo[i] // 100) * (la[i+1] // 100) - (lo[i+1] // 100) * (la[i] // 100)))) AS BIGINT)
+       |       ELSE NULL END AS area2_e5
+       |FROM g""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ofl_tag_version" ->
       s"""SELECT $idExpr AS id, o_orderkey % 9 + 1 AS version, o_orderpriority AS usr
@@ -239,40 +276,34 @@ object SparkEntry {
     // o_orderkey 0, whose -k IS 0 and does resolve ref 0; an unsigned-vs-
     // signed mismatch here cost 30 ways' metrics in the first cut);
     // measures over the resolved subsequence in order — exact BIGINT math
-    "spatial_way_geom" ->
-      s"""WITH w AS (
+    "spatial_way_geom" -> s"$wayGeomBody\nORDER BY id",
+
+    // relation aggregation over the SAME way-geometry derivation (wg is
+    // the way_geom oracle body): members from the TpchOsm formula
+    // (j=1..k%4+1, way ⟺ (k+j)%3=1, ref=(k+j·13)%500), left-joined to
+    // member way metrics, aggregated per relation — exact BIGINT math
+    "spatial_rel_geom" ->
+      s"""WITH wg AS (
+         |$wayGeomBody
+         |),
+         |rel AS (
          |  SELECT o_orderkey AS k, $idExpr AS id FROM orders
-         |  WHERE o_orderkey % 20 >= 14 AND o_orderkey % 20 < 19),
-         |r AS (
-         |  SELECT k, id, u.j AS pos, (k + u.j * 11) % 1000 AS ref
-         |  FROM w, UNNEST(generate_series(1, 6)) AS u(j)
-         |  WHERE u.j <= k % 5 + 2
-         |  UNION ALL
-         |  SELECT k, id, 9 AS pos, (k + 11) % 1000 AS ref FROM w WHERE k % 3 = 0),
-         |n AS (
-         |  SELECT $idExpr AS nid,
-         |         CAST((o_orderkey * 7919) % 17000 * 100000 - 850000000 AS BIGINT) AS late7,
-         |         CAST((o_orderkey * 104729) % 36000 * 100000 - 1800000000 AS BIGINT) AS lone7
-         |  FROM orders WHERE o_orderkey % 20 < 14),
-         |g AS (
-         |  SELECT id,
-         |    CAST(count(*) AS BIGINT) AS n_refs,
-         |    CAST(count(late7) AS BIGINT) AS n_resolved,
-         |    min(late7) AS min_lat_e7, max(late7) AS max_lat_e7,
-         |    min(lone7) AS min_lon_e7, max(lone7) AS max_lon_e7,
-         |    list(late7 ORDER BY pos) FILTER (WHERE late7 IS NOT NULL) AS la,
-         |    list(lone7 ORDER BY pos) FILTER (WHERE late7 IS NOT NULL) AS lo
-         |  FROM r LEFT JOIN n ON n.nid = r.ref
-         |  GROUP BY id)
-         |SELECT id, n_refs, n_resolved,
-         |  min_lat_e7, max_lat_e7, min_lon_e7, max_lon_e7,
-         |  CAST(COALESCE(list_sum(list_transform(generate_series(2, len(la)), i ->
-         |      abs(la[i] - la[i-1]) + abs(lo[i] - lo[i-1]))), 0) AS BIGINT) AS path_e7,
-         |  CASE WHEN len(la) >= 4 AND la[1] = la[len(la)] AND lo[1] = lo[len(lo)]
-         |       THEN CAST(abs(list_sum(list_transform(generate_series(1, len(la) - 1), i ->
-         |            (lo[i] // 100) * (la[i+1] // 100) - (lo[i+1] // 100) * (la[i] // 100)))) AS BIGINT)
-         |       ELSE NULL END AS area2_e5
-         |FROM g ORDER BY id""".stripMargin,
+         |  WHERE o_orderkey % 20 = 19),
+         |mem AS (
+         |  SELECT k, id, u.j AS pos, (k + u.j * 13) % 500 AS mref,
+         |         (k + u.j) % 3 AS mt
+         |  FROM rel, UNNEST(generate_series(1, 4)) AS u(j)
+         |  WHERE u.j <= k % 4 + 1)
+         |SELECT mem.id AS id,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(CASE WHEN mem.mt = 1 THEN 1 END) AS BIGINT) AS n_way_members,
+         |  CAST(count(wg.id) AS BIGINT) AS n_ways_resolved,
+         |  CAST(COALESCE(sum(wg.path_e7), 0) AS BIGINT) AS sum_path_e7,
+         |  min(wg.min_lat_e7) AS min_lat_e7, max(wg.max_lat_e7) AS max_lat_e7,
+         |  min(wg.min_lon_e7) AS min_lon_e7, max(wg.max_lon_e7) AS max_lon_e7
+         |FROM mem LEFT JOIN wg ON mem.mt = 1 AND wg.id = mem.mref
+         |GROUP BY mem.id
+         |ORDER BY id""".stripMargin,
 
     // the cross product the engine must never run: brute all-pairs planar
     // distance — same double formula text as the engine's refine

@@ -270,6 +270,18 @@ object Queries {
           col("path_e7"), col("area2_e5"))
         .orderBy("id")
     },
+    // relation-level aggregation over member-way geometries (nodes → ways
+    // → relations, the full hierarchy in one distributed plan)
+    "spatial_rel_geom" -> { (spark, sfDir) =>
+      val view = TpchOsm.view(spark, sfDir)
+      val ways = GeomOps.wayMetrics(GeomOps.addLocations(view))
+      GeomOps.relationGeoms(view, ways)
+        .select(col("rel_id").as("id"), col("n_members"), col("n_way_members"),
+          col("n_ways_resolved"), col("sum_path_e7"),
+          col("min_lat_e7"), col("max_lat_e7"),
+          col("min_lon_e7"), col("max_lon_e7"))
+        .orderBy("id")
+    },
     // all-pairs-within-radius self-join: cover-cell prejoin + exact planar
     // refine (never a cross product; the oracle IS the cross product)
     "spatial_distance_join" -> { (spark, sfDir) =>

@@ -44,6 +44,12 @@ object ScalingBench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      // co-tenant CPU-steal bursts on this host starve executor threads past
+      // the 10 s default heartbeat — killed a 24M view build mid-fixture;
+      // generous timeouts keep fixture builds alive (timed rows are still
+      // guarded by the HostProbe brackets, not by these)
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
     val spark = (if (master.startsWith("local-cluster")) {
       val jar = new java.io.File("target/scala-2.13")
         .listFiles().filter(_.getName.endsWith(".jar")).maxBy(_.lastModified).getAbsolutePath
