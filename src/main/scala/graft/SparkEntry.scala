@@ -44,6 +44,81 @@ object SparkEntry {
        |    AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0
        |ORDER BY polygon_id, id""".stripMargin
 
+  private lazy val bboxPruneOracle: String =
+    s"""WITH p AS ($nodesP)
+       |SELECT CAST(1 AS BIGINT) AS box_id, id FROM p
+       |  WHERE lat >= 10.005 AND lat <= 25.005
+       |    AND lon >= -60.005 AND lon <= -20.005
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), id FROM p
+       |  WHERE lat >= -35.005 AND lat <= -5.005
+       |    AND (lon >= 170.005 OR lon <= -150.005)
+       |ORDER BY box_id, id""".stripMargin
+
+  /** DuckDB re-derivation of the S2-style encoder at level 12 — mirrors
+    * [[graft.spatial.SpatialOps.s2CellId]] operation-for-operation: unit
+    * vector, dominant-axis face chain (same `>=` order), gnomonic uv,
+    * quadratic st, then the Hilbert transducer UNROLLED as one CTE stage
+    * per level (the packed-table lookups are the same shifts + masks in
+    * SQL). Constants are interpolated from the engine's own values so the
+    * two sides cannot drift. */
+  private lazy val s2CellOracle: String = {
+    val level = 12
+    val nGrid = 1L << level
+    val d2r = graft.spatial.S2Cell.DegToRad.toString
+    val pos = graft.spatial.HilbertCurve.Pos
+    val nxt = graft.spatial.HilbertCurve.Next
+    def stLookup(c: String): String =
+      s"CASE WHEN $c >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * $c) " +
+        s"ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * $c) END"
+    def gridIdx(st: String): String =
+      s"least(greatest(CAST(floor(($st) * $nGrid) AS BIGINT), 0), ${nGrid - 1})"
+    val hilbertStages = (0 until level).map { s =>
+      val k = level - 1 - s // bit consumed at this stage, MSB first
+      val q = s"((((i >> $k) & 1) * 2) | ((j >> $k) & 1))"
+      val idx2 = s"(((st * 4) | $q) * 2)"
+      s"""h${s + 1} AS (
+         |  SELECT face, i, j,
+         |    ((d * 4) | (($pos >> $idx2) & 3)) AS d,
+         |    (($nxt >> $idx2) & 3) AS st
+         |  FROM h$s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS ($nodesP),
+       |vec AS (
+       |  SELECT cos(lat * $d2r) * cos(lon * $d2r) AS vx,
+       |         cos(lat * $d2r) * sin(lon * $d2r) AS vy,
+       |         sin(lat * $d2r) AS vz
+       |  FROM p),
+       |fc AS (
+       |  SELECT vx, vy, vz,
+       |    CASE WHEN abs(vx) >= abs(vy) AND abs(vx) >= abs(vz)
+       |           THEN (CASE WHEN vx >= 0 THEN 0 ELSE 3 END)
+       |         WHEN abs(vy) >= abs(vz)
+       |           THEN (CASE WHEN vy >= 0 THEN 1 ELSE 4 END)
+       |         ELSE (CASE WHEN vz >= 0 THEN 2 ELSE 5 END) END AS face
+       |  FROM vec),
+       |uv AS (
+       |  SELECT face,
+       |    CASE face WHEN 0 THEN vy / vx WHEN 1 THEN -vx / vy
+       |              WHEN 2 THEN -vx / vz WHEN 3 THEN vz / vx
+       |              WHEN 4 THEN vz / vy ELSE -vy / vz END AS u,
+       |    CASE face WHEN 0 THEN vz / vx WHEN 1 THEN vz / vy
+       |              WHEN 2 THEN -vy / vz WHEN 3 THEN vy / vx
+       |              WHEN 4 THEN -vx / vy ELSE -vx / vz END AS v
+       |  FROM fc),
+       |h0 AS (
+       |  SELECT face,
+       |    ${gridIdx(stLookup("u"))} AS i,
+       |    ${gridIdx(stLookup("v"))} AS j,
+       |    CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS st
+       |  FROM uv),
+       |$hilbertStages
+       |SELECT cell, count(*) AS n FROM (
+       |  SELECT ((((CAST(face AS BIGINT) << ${2 * level}) | d) << 5) | $level) AS cell
+       |  FROM h$level) c
+       |GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** Way-geometry derivation shared by the way and relation oracles (no
     * trailing ORDER BY so it can nest as a CTE body). */
   private lazy val wayGeomBody: String =
@@ -205,16 +280,11 @@ object SparkEntry {
          |   OR (o_orderpriority LIKE '3%' AND o_orderkey % 3 = 0)
          |ORDER BY id""".stripMargin,
 
-    "spatial_bbox_prune" ->
-      s"""WITH p AS ($nodesP)
-         |SELECT CAST(1 AS BIGINT) AS box_id, id FROM p
-         |  WHERE lat >= 10.005 AND lat <= 25.005
-         |    AND lon >= -60.005 AND lon <= -20.005
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), id FROM p
-         |  WHERE lat >= -35.005 AND lat <= -5.005
-         |    AND (lon >= 170.005 OR lon <= -150.005)
-         |ORDER BY box_id, id""".stripMargin,
+    "spatial_bbox_prune" -> bboxPruneOracle,
+    // same boxes, HILBERT-curve layout — one oracle, two storage curves
+    "spatial_bbox_hilbert" -> bboxPruneOracle,
+
+    "spatial_s2_cell" -> s2CellOracle,
 
     "spatial_bbox_hot" ->
       s"""SELECT id FROM (

@@ -72,6 +72,18 @@ object Queries {
       SpatialLayout.materialize(nodes, dir, coarseLevel = 3, fineLevel = 14)
     }
 
+  /** The nodes HILBERT layout (same grid levels as [[zLayoutDir]], fine
+    * sort curve = Hilbert) — `spatial_bbox_hilbert` reads it through the
+    * same bboxFilter path, proving the curve switch end-to-end against the
+    * Z gate's oracle. */
+  private def hLayoutDir(spark: SparkSession, sfDir: String): String =
+    materializedOnce("hlayout", sfDir) { dir =>
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      SpatialLayout.materialize(nodes, dir, coarseLevel = 3, fineLevel = 14,
+        curve = "hilbert")
+    }
+
   /** The `spatial_pip`/`spatial_pip_pruned` polygon fixture (mid-ocean
     * rectangles + a triangle; oracle = half-plane inequalities). */
   private def pipPolys(spark: SparkSession): DataFrame = {
@@ -229,6 +241,27 @@ object Queries {
       val b = SpatialLayout.bboxFilter(layout, -35.005, -5.005, 170.005, -150.005)
         .select(lit(2L).as("box_id"), col("id"))
       a.unionByName(b).orderBy("box_id", "id")
+    },
+    // the SAME boxes through the HILBERT-curve layout (fine sort column is
+    // the Hilbert address, cover ranges from HCell) — one oracle, two
+    // curves; box 2 wraps the antimeridian on this path too
+    "spatial_bbox_hilbert" -> { (spark, sfDir) =>
+      val layout = spark.read.parquet(Queries.hLayoutDir(spark, sfDir))
+      val a = SpatialLayout.bboxFilter(layout, 10.005, 25.005, -60.005, -20.005)
+        .select(lit(1L).as("box_id"), col("id"))
+      val b = SpatialLayout.bboxFilter(layout, -35.005, -5.005, 170.005, -150.005)
+        .select(lit(2L).as("box_id"), col("id"))
+      a.unionByName(b).orderBy("box_id", "id")
+    },
+    // S2-style spherical cells (cube face + quadratic st + per-face
+    // Hilbert): per-cell node density at level 12 — the oracle re-derives
+    // the full encoder (face chain, gnomonic uv, quadratic st, unrolled
+    // Hilbert transducer) in pure SQL arithmetic
+    "spatial_s2_cell" -> { (spark, sfDir) =>
+      val nodes = TpchOsm.view(spark, sfDir).filter(col("type") === "node")
+      nodes.select(SpatialOps.s2CellId(col("lat"), col("lon"), 12).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy("cell")
     },
     // BOTH metadata-driven prune layers on ONE table: the Z layout is
     // materialized over the HOT-KEY VIEW (t_<key> columns + graft_hot_key

@@ -38,8 +38,17 @@ import org.apache.spark.sql.types.MetadataBuilder
   * savings. The grid levels ride in `zcell`'s column METADATA (persisted in
   * the parquet footer, like HotTags' `graft_hot_key`), so readers need no
   * side file and a non-layout table degrades to the plain scan.
+  *
+  * The fine sort curve is selectable (`curve = "z" | "hilbert"`, recorded
+  * in metadata and honored by both readers): Hilbert addressing covers the
+  * SAME cell set with fewer contiguous value ranges (edge-adjacency — see
+  * [[HilbertCurve]]), i.e. a smaller pushed filter tree at equal prune
+  * precision; tools.CurveProbe measures the fragmentation and scan deltas.
   */
 object SpatialLayout {
+  private def curveOf(m: org.apache.spark.sql.types.Metadata): String =
+    if (m.contains(MetaCurve)) m.getString(MetaCurve) else "z"
+
   /** Coarse partition-directory cell column. */
   val PartCol = "pcell"
   /** Fine sort-order cell column (level constant per layout). */
@@ -47,6 +56,9 @@ object SpatialLayout {
   /** Column-metadata keys carrying the two grid levels on [[SortCol]]. */
   val MetaCoarse = "graft_zcell_coarse_level"
   val MetaFine = "graft_zcell_fine_level"
+  /** Column-metadata key naming the fine sort curve (`"z"` | `"hilbert"`);
+    * absent on pre-curve layouts → `"z"` (backward compatible). */
+  val MetaCurve = "graft_zcell_curve"
 
   /** Write `points` (needs `lat`/`lon` columns; all other columns ride
     * along) as a Z-clustered layout at `path`. Rows with null coordinates
@@ -57,17 +69,26 @@ object SpatialLayout {
     * thousands; the LAYOUT is identical, only the sample-based range
     * boundaries move). */
   def materialize(points: DataFrame, path: String, coarseLevel: Int = 4,
-                  fineLevel: Int = 16, numFiles: Int = 32): Unit = {
+                  fineLevel: Int = 16, numFiles: Int = 32,
+                  curve: String = "z"): Unit = {
     require(coarseLevel >= 0 && coarseLevel <= fineLevel &&
       fineLevel <= ZCell.MaxLevel,
       s"need 0 <= coarse($coarseLevel) <= fine($fineLevel) <= ${ZCell.MaxLevel}")
+    require(curve == "z" || curve == "hilbert", s"unknown curve '$curve'")
     val meta = new MetadataBuilder()
       .putLong(MetaCoarse, coarseLevel.toLong)
-      .putLong(MetaFine, fineLevel.toLong).build()
-    val z = SpatialOps.cellId(col("lat"), col("lon"), fineLevel)
+      .putLong(MetaFine, fineLevel.toLong)
+      .putString(MetaCurve, curve).build()
+    // the fine SORT column follows the chosen curve; the coarse PARTITION
+    // directory cell stays Z-addressed either way — directory pruning is
+    // set membership on grid cells (curve locality doesn't reach it), and
+    // a shared pcell addressing keeps the two layouts dir-compatible
+    val z =
+      if (curve == "hilbert") SpatialOps.hilbertCellId(col("lat"), col("lon"), fineLevel)
+      else SpatialOps.cellId(col("lat"), col("lon"), fineLevel)
     points
       .select(col("*"), z.as(SortCol, meta),
-        SpatialOps.cellParent(z, fineLevel, coarseLevel).as(PartCol))
+        SpatialOps.cellId(col("lat"), col("lon"), coarseLevel).as(PartCol))
       .repartitionByRange(numFiles, col(SortCol))
       .sortWithinPartitions(SortCol)
       .write.mode("overwrite").partitionBy(PartCol).parquet(path)
@@ -101,7 +122,9 @@ object SpatialLayout {
         val fine = f.metadata.getLong(MetaFine).toInt
         val coarse = f.metadata.getLong(MetaCoarse).toInt
         val ranges =
-          ZCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, maxRanges)
+          if (curveOf(f.metadata) == "hilbert")
+            HCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, maxRanges)
+          else ZCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, maxRanges)
         val zPred = ranges
           .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
           .reduce(_ or _)
@@ -150,9 +173,13 @@ object SpatialLayout {
         // Or tree whose per-row evaluation in the residual Filter cost 14×
         // the scan it was saving
         val perBox = math.max(1, maxRanges / math.max(1, boxes.length))
+        val cover: (Double, Double, Double, Double) => Seq[(Long, Long)] =
+          if (curveOf(f.metadata) == "hilbert")
+            HCell.coverRanges(_, _, _, _, fine, perBox)
+          else ZCell.coverRanges(_, _, _, _, fine, perBox)
         val ranges = ZCell.mergeRanges(boxes.toSeq.flatMap {
           case (latMin, latMax, lonMin, lonMax) =>
-            ZCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, perBox)
+            cover(latMin, latMax, lonMin, lonMax)
         })
         // empty polygon set ⇒ empty join (reduce over zero ranges would throw)
         val zPred =

@@ -104,6 +104,48 @@ class SpatialLayoutSpec extends AnyFunSuite {
     }
   }
 
+  private lazy val hilbertLayoutPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hlayout").toString
+    SpatialLayout.materialize(nodesDF, dir, coarseLevel = 3, fineLevel = 14,
+      numFiles = 8, curve = "hilbert")
+    dir
+  }
+
+  test("hilbert-curve layout: bboxFilter equals the exact filter on every box") {
+    val layout = spark.read.parquet(hilbertLayoutPath)
+    // curve rides in metadata so bboxFilter picks HCell ranges
+    val f = layout.schema.fields.find(_.name == SpatialLayout.SortCol).get
+    assert(f.metadata.getString(SpatialLayout.MetaCurve) === "hilbert")
+    boxes.foreach { case (latMin, latMax, lonMin, lonMax) =>
+      val got = SpatialLayout.bboxFilter(layout, latMin, latMax, lonMin, lonMax)
+        .select("id").as[Long].collect().sorted
+      val lonPred =
+        if (lonMin <= lonMax) col("lon") >= lonMin && col("lon") <= lonMax
+        else col("lon") >= lonMin || col("lon") <= lonMax
+      val want = nodesDF
+        .filter(col("lat") >= latMin && col("lat") <= latMax && lonPred)
+        .select("id").as[Long].collect().sorted
+      assert(got.toSeq === want.toSeq,
+        s"hilbert box ($latMin,$latMax,$lonMin,$lonMax): ${got.length} vs ${want.length}")
+    }
+  }
+
+  test("hilbert-curve layout: polygonJoin equals the Z-layout join") {
+    val polys = DeterministicGen.polygons()
+      .map(p => (p.polygon_id, p.rings.map(_.map { case (la, lo) => (la, lo) })))
+      .toDF("polygon_id", "rings")
+      .withColumn("rings",
+        col("rings").cast("array<array<struct<lat:double,lon:double>>>"))
+    val viaH = SpatialLayout
+      .polygonJoin(spark.read.parquet(hilbertLayoutPath), polys, level = 13)
+      .select("polygon_id", "doc_id")
+    val viaZ = SpatialLayout
+      .polygonJoin(spark.read.parquet(layoutPath), polys, level = 13)
+      .select("polygon_id", "doc_id")
+    assert(viaH.exceptAll(viaZ).isEmpty && viaZ.exceptAll(viaH).isEmpty)
+    assert(viaZ.count() > 0)
+  }
+
   test("all payload columns ride through the layout unchanged") {
     val layout = spark.read.parquet(layoutPath)
     val got = layout.select("doc_id", "id", "lat", "lon")
