@@ -55,15 +55,17 @@ object SparkEntry {
        |    AND (lon >= 170.005 OR lon <= -150.005)
        |ORDER BY box_id, id""".stripMargin
 
-  /** DuckDB re-derivation of the S2-style encoder at level 12 — mirrors
+  /** DuckDB re-derivation of the S2-style encoder at `level` — mirrors
     * [[graft.spatial.SpatialOps.s2CellId]] operation-for-operation: unit
     * vector, dominant-axis face chain (same `>=` order), gnomonic uv,
     * quadratic st, then the Hilbert transducer UNROLLED as one CTE stage
     * per level (the packed-table lookups are the same shifts + masks in
     * SQL). Constants are interpolated from the engine's own values so the
-    * two sides cannot drift. */
-  private lazy val s2CellOracle: String = {
-    val level = 12
+    * two sides cannot drift. The level-6 instance doubles as the TILE
+    * oracle: the engine derives tiles by SHIFTING the level-12 cell
+    * (cellParent), the oracle re-encodes at level 6 from scratch — their
+    * agreement is the parent-prefix property checked end-to-end. */
+  private def s2DensityOracle(level: Int, cellAlias: String): String = {
     val nGrid = 1L << level
     val d2r = graft.spatial.S2Cell.DegToRad.toString
     val pos = graft.spatial.HilbertCurve.Pos
@@ -113,10 +115,10 @@ object SparkEntry {
        |    CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS st
        |  FROM uv),
        |$hilbertStages
-       |SELECT cell, count(*) AS n FROM (
-       |  SELECT ((((CAST(face AS BIGINT) << ${2 * level}) | d) << 5) | $level) AS cell
+       |SELECT $cellAlias, count(*) AS n FROM (
+       |  SELECT ((((CAST(face AS BIGINT) << ${2 * level}) | d) << 5) | $level) AS $cellAlias
        |  FROM h$level) c
-       |GROUP BY cell ORDER BY cell""".stripMargin
+       |GROUP BY $cellAlias ORDER BY $cellAlias""".stripMargin
   }
 
   /** Way-geometry derivation shared by the way and relation oracles (no
@@ -284,7 +286,10 @@ object SparkEntry {
     // same boxes, HILBERT-curve layout — one oracle, two storage curves
     "spatial_bbox_hilbert" -> bboxPruneOracle,
 
-    "spatial_s2_cell" -> s2CellOracle,
+    "spatial_s2_cell" -> s2DensityOracle(12, "cell"),
+    // engine shifts the level-12 cell to its level-6 ancestor; the oracle
+    // re-encodes at level 6 from scratch (parent-prefix property, gated)
+    "spatial_s2_tile" -> s2DensityOracle(6, "tile"),
 
     "spatial_bbox_hot" ->
       s"""SELECT id FROM (

@@ -263,6 +263,17 @@ object Queries {
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .orderBy("cell")
     },
+    // level-6 tiles derived by SHIFT from the level-12 cell (cellParent is
+    // curve-agnostic: face bits ride above the Hilbert position) — the
+    // oracle re-encodes level 6 from scratch, so a prefix-property break
+    // anywhere in the chain fails the hash
+    "spatial_s2_tile" -> { (spark, sfDir) =>
+      val nodes = TpchOsm.view(spark, sfDir).filter(col("type") === "node")
+      val fine = SpatialOps.s2CellId(col("lat"), col("lon"), 12)
+      nodes.select(SpatialOps.cellParent(fine, 12, 6).as("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("n"))
+        .orderBy("tile")
+    },
     // BOTH metadata-driven prune layers on ONE table: the Z layout is
     // materialized over the HOT-KEY VIEW (t_<key> columns + graft_hot_key
     // metadata ride through SpatialLayout.materialize), so the single scan

@@ -236,6 +236,22 @@ class HilbertS2Spec extends AnyFunSuite {
     }
   }
 
+  test("s2CellId stays inside whole-stage codegen (no CodegenFallback)") {
+    val cg = {
+      val df = adversarialDF.select(
+        SpatialOps.s2CellId(col("lat"), col("lon"), 12).as("c"),
+        SpatialOps.hilbertCellId(col("lat"), col("lon"), 12).as("h"))
+      import org.apache.spark.sql.execution.debug._
+      codegenString(df.queryExecution.executedPlan)
+    }
+    assert(cg.contains("Found 1 WholeStageCodegen subtrees") ||
+      cg.contains("WholeStageCodegen"), s"no codegen span:\n${cg.take(400)}")
+    // CodegenFallback leaves `((Expression) references[i]).eval(...)` calls
+    // in the generated code — the unrolled transducer must not
+    assert(!cg.contains("(Expression) references"),
+      "CodegenFallback present in the cell-encoder codegen")
+  }
+
   test("hilbertCellId Column == HCell scalar, bit-for-bit") {
     Seq(1, 9, 16).foreach { level =>
       val rows = adversarialDF
