@@ -284,6 +284,13 @@ object Bench {
     results("spatial_cell_density") = median3("spatial_cell_density")(
       SpatialOps.cellDensity(nodes, 12).count())
 
+    // S2-style spherical encoder throughput: trig + face chain + unrolled
+    // Hilbert transducer per row, then the same hash-agg as cell_density —
+    // the delta over the Z row is the encoder's cost
+    results("spatial_s2_density") = median3("spatial_s2_density")(
+      nodes.select(SpatialOps.s2CellId(col("lat"), col("lon"), 12).as("cell"))
+        .groupBy("cell").count().count())
+
     // Z-order layout: the same region bbox (Paris hotspot, ~23% of nodes)
     // answered through the pruned Z-clustered layout vs a full scan of the
     // type-partitioned view — both parquet paths. At sf0.1 these rows are

@@ -64,77 +64,36 @@ object SpatialOps {
       .bitwiseOR(lit(toLevel.toLong))
   }
 
-  // --- Hilbert / S2 cell encoders (Column mirrors of HCell / S2Cell) --------
+  // --- Hilbert / S2 cell encoders (native codegen'd kernels) ----------------
+  //
+  // Unlike the Z encoder (spread/compact ARE stateless bit math, so the
+  // Column form above is the right shape), the Hilbert position is a
+  // sequential transducer; an unrolled Column form duplicates each level's
+  // state subtree into every later level (no let-binding in Catalyst) and
+  // measured 52× slower than the Z row at level 12. Both encoders
+  // therefore go through a native Expression whose doGenCode is one static
+  // call into the scalar kernel — see graft.exprs.CellIdExprs scaladoc for
+  // the numbers and HilbertS2Spec for the bit-equality + codegen pins.
 
-  /** Hilbert curve position of grid point (x, y) at `level` — Column mirror
-    * of [[HilbertCurve.xy2d]]: the packed-table transducer unrolled over the
-    * statically-known level, one 2-bit digit per step. Each step is two
-    * variable shifts into the packed constants + masks — pure bit
-    * arithmetic, stays inside whole-stage codegen like [[cellId]]'s
-    * spread/compact kernels. */
-  private def hilbertPosCol(x: Column, y: Column, level: Int): Column = {
-    var d = lit(0L)
-    var state = lit(0L)
-    var k = level - 1
-    while (k >= 0) {
-      val q = shiftleft(shiftrightunsigned(x, k).bitwiseAND(lit(1L)), 1)
-        .bitwiseOR(shiftrightunsigned(y, k).bitwiseAND(lit(1L)))
-      val idx2 = (shiftleft(state, 2).bitwiseOR(q) * 2).cast("int")
-      d = shiftleft(d, 2).bitwiseOR(
-        call_function("shiftrightunsigned", lit(HilbertCurve.Pos), idx2)
-          .bitwiseAND(lit(3L)))
-      state = call_function("shiftrightunsigned", lit(HilbertCurve.Next), idx2)
-        .bitwiseAND(lit(3L))
-      k -= 1
-    }
-    d
-  }
+  /** Planar Hilbert cell at `level` — [[HCell.encode]] as a codegen'd
+    * kernel: same equirect grid as [[cellId]] (identical floor/clamp
+    * arithmetic, so the cell GEOMETRY matches ZCell's), Hilbert curve
+    * position as the address. [[cellParent]] applies unchanged — the
+    * `(pos << 5) | level` layout and the prefix property are shared. */
+  def hilbertCellId(lat: Column, lon: Column, level: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.exprs.HilbertCellIdExpr(
+      org.apache.spark.sql.GraftBridge.expression(lat.cast("double")),
+      org.apache.spark.sql.GraftBridge.expression(lon.cast("double")), level))
 
-  /** Planar Hilbert cell at `level` — [[HCell.encode]] mirror: same
-    * equirect grid as [[cellId]] (identical floor/clamp arithmetic, so the
-    * cell GEOMETRY matches ZCell's), Hilbert curve position as the address.
-    * [[cellParent]] applies unchanged — the `(pos << 5) | level` layout and
-    * the prefix property are shared. */
-  def hilbertCellId(lat: Column, lon: Column, level: Int): Column = {
-    require(level >= 0 && level <= HCell.MaxLevel)
-    val n = 1L << level
-    val x = clampCol(floor((lon + 180.0) / 360.0 * n).cast("long"), n - 1)
-    val y = clampCol(floor((lit(90.0) - lat) / 180.0 * n).cast("long"), n - 1)
-    shiftleft(hilbertPosCol(x, y, level), 5).bitwiseOR(lit(level.toLong))
-  }
-
-  /** S2-style spherical cell at `level` — [[S2Cell.encode]] mirror
-    * (cube-face selection + gnomonic uv + quadratic st + per-face Hilbert),
-    * operation-for-operation: same constants, same `>=` comparison chains,
-    * so scalar and Column agree bit-for-bit on every input (S2CellSpec
-    * pins it). Trig + a handful of when-branches up front, then the same
-    * bit-arithmetic kernel — codegen-friendly, no UDF. [[cellParent]]
-    * applies unchanged (face bits ride above the position). */
-  def s2CellId(lat: Column, lon: Column, level: Int): Column = {
-    require(level >= 0 && level <= S2Cell.MaxLevel)
-    val phi = lat * lit(S2Cell.DegToRad)
-    val lam = lon * lit(S2Cell.DegToRad)
-    val cp = cos(phi)
-    val x = cp * cos(lam)
-    val y = cp * sin(lam)
-    val z = sin(phi)
-    val ax = abs(x); val ay = abs(y); val az = abs(z)
-    val f = when(ax >= ay && ax >= az, when(x >= 0, 0L).otherwise(3L))
-      .when(ay >= az, when(y >= 0, 1L).otherwise(4L))
-      .otherwise(when(z >= 0, 2L).otherwise(5L))
-    val u = when(f === 0, y / x).when(f === 1, -x / y).when(f === 2, -x / z)
-      .when(f === 3, z / x).when(f === 4, z / y).otherwise(-y / z)
-    val v = when(f === 0, z / x).when(f === 1, z / y).when(f === 2, -y / z)
-      .when(f === 3, y / x).when(f === 4, -x / y).otherwise(-x / z)
-    def st(c: Column): Column =
-      when(c >= 0, lit(0.5) * sqrt(lit(1.0) + lit(3.0) * c))
-        .otherwise(lit(1.0) - lit(0.5) * sqrt(lit(1.0) - lit(3.0) * c))
-    val n = 1L << level
-    val i = clampCol(floor(st(u) * n).cast("long"), n - 1)
-    val j = clampCol(floor(st(v) * n).cast("long"), n - 1)
-    shiftleft(shiftleft(f, 2 * level).bitwiseOR(hilbertPosCol(i, j, level)), 5)
-      .bitwiseOR(lit(level.toLong))
-  }
+  /** S2-style spherical cell at `level` — [[S2Cell.encode]] as a codegen'd
+    * kernel (cube-face selection + gnomonic uv + quadratic st + per-face
+    * Hilbert). [[cellParent]] applies unchanged (face bits ride above the
+    * position); the DuckDB oracle re-derives the full chain in SQL
+    * (`spatial_s2_cell` / `spatial_s2_tile`). */
+  def s2CellId(lat: Column, lon: Column, level: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.exprs.S2CellIdExpr(
+      org.apache.spark.sql.GraftBridge.expression(lat.cast("double")),
+      org.apache.spark.sql.GraftBridge.expression(lon.cast("double")), level))
 
   /** Great-circle distance in meters (haversine), pure Column math. */
   def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
