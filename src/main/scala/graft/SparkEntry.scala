@@ -291,6 +291,20 @@ object SparkEntry {
     // re-encodes at level 6 from scratch (parent-prefix property, gated)
     "spatial_s2_tile" -> s2DensityOracle(6, "tile"),
 
+    // the cover prejoin is a provable superset, so the oracle is the bare
+    // refine: haversine ≤ r per (query, point) pair
+    "spatial_s2_radius" ->
+      s"""WITH p AS ($nodesP),
+         |q(query_id, qlat, qlon) AS (VALUES
+         |  (1, 48.905, 2.405), (2, -33.905, 151.205), (3, 84.005, 0.005))
+         |SELECT CAST(q.query_id AS BIGINT) AS query_id, p.id
+         |FROM p, q
+         |WHERE 2.0 * 6371008.8 * asin(sqrt(
+         |    pow(sin(radians(q.qlat - p.lat) / 2), 2) +
+         |    cos(radians(p.lat)) * cos(radians(q.qlat)) *
+         |      pow(sin(radians(q.qlon - p.lon) / 2), 2))) <= 1500000.0
+         |ORDER BY query_id, id""".stripMargin,
+
     "spatial_bbox_hot" ->
       s"""SELECT id FROM (
          |  SELECT $idExpr AS id, $latExpr AS lat, $lonExpr AS lon,

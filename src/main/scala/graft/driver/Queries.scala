@@ -274,6 +274,18 @@ object Queries {
         .groupBy("tile").agg(count(lit(1)).as("n"))
         .orderBy("tile")
     },
+    // spherical-cap radius join on the S2 grid: conservative coverCap
+    // prejoin (superset by triangle inequality) + exact haversine refine;
+    // query 3 sits near the pole so the cover crosses onto face 2
+    "spatial_s2_radius" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val qs = Seq((1L, 48.905, 2.405), (2L, -33.905, 151.205),
+        (3L, 84.005, 0.005)).toDF("query_id", "lat", "lon")
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      SpatialOps.s2RadiusJoin(nodes, qs, 1500000.0, level = 8)
+        .select(col("query_id"), col("id")).orderBy("query_id", "id")
+    },
     // BOTH metadata-driven prune layers on ONE table: the Z layout is
     // materialized over the HOT-KEY VIEW (t_<key> columns + graft_hot_key
     // metadata ride through SpatialLayout.materialize), so the single scan

@@ -129,4 +129,90 @@ object S2Cell {
     (math.atan2(z, math.sqrt(x * x + y * y)) / DegToRad,
       math.atan2(y, x) / DegToRad)
   }
+
+  /** Mean sphere radius in meters — the same constant
+    * [[SpatialOps.haversineMeters]] uses, so angular/metric conversions
+    * agree across the cover and the refine. */
+  val EarthRadiusMeters: Double = 6371008.8
+
+  private def unitVector(lat: Double, lon: Double): (Double, Double, Double) = {
+    val cp = math.cos(lat * DegToRad)
+    (cp * math.cos(lon * DegToRad), cp * math.sin(lon * DegToRad),
+      math.sin(lat * DegToRad))
+  }
+
+  private def angle(a: (Double, Double, Double), b: (Double, Double, Double)): Double = {
+    val dot = a._1 * b._1 + a._2 * b._2 + a._3 * b._3
+    math.acos(math.max(-1.0, math.min(1.0, dot)))
+  }
+
+  private def centerVec(cell: Long): (Double, Double, Double) = {
+    val l = level(cell)
+    val n = (1 << l).toDouble
+    val (i, j) = HilbertCurve.d2xy(l, pos(cell))
+    val (x, y, z) = faceToXyz(face(cell),
+      uvFromSt((i + 0.5) / n), uvFromSt((j + 0.5) / n))
+    val m = math.sqrt(x * x + y * y + z * z)
+    (x / m, y / m, z / m)
+  }
+
+  /** Max angular distance (radians) from the cell center to its four
+    * corners — a circumradius bound for conservative intersection tests
+    * (cells are spherical quadrilaterals; great-circle edges bulge INWARD
+    * from the corner hull on a convex cell, so the corner max bounds every
+    * boundary point for the cell sizes the cover descends through). */
+  def circumRadiusRad(cell: Long): Double = {
+    val l = level(cell)
+    val n = (1 << l).toDouble
+    val (i, j) = HilbertCurve.d2xy(l, pos(cell))
+    val c = centerVec(cell)
+    val f = face(cell)
+    var worst = 0.0
+    var ci = 0
+    while (ci < 4) {
+      val u = uvFromSt((i + (ci & 1)) / n)
+      val v = uvFromSt((j + ((ci >> 1) & 1)) / n)
+      val (x, y, z) = faceToXyz(f, u, v)
+      val m = math.sqrt(x * x + y * y + z * z)
+      val a = angle(c, (x / m, y / m, z / m))
+      if (a > worst) worst = a
+      ci += 1
+    }
+    worst
+  }
+
+  /** The four children of a cell (one level finer) — pure value arithmetic,
+    * valid from the level-0 face cells down. */
+  def children(cell: Long): Seq[Long] = {
+    val l = level(cell)
+    require(l < MaxLevel, s"cell already at MaxLevel $MaxLevel")
+    (0 until 4).map(q => (((cell >>> 5) << 2) | q.toLong) << 5 | (l + 1).toLong)
+  }
+
+  /** Cells covering the spherical cap of `radiusMeters` around a point —
+    * conservative recursive descent from the six face cells: a cell stays
+    * in the frontier iff `dist(center, q) ≤ capAngle + circumRadius(cell)`
+    * (triangle inequality ⇒ every cell intersecting the cap passes, so the
+    * cover is a provable SUPERSET; some passing cells may miss the cap —
+    * false positives cost scan, never correctness). Descends toward
+    * `level` but stops early when the next level would exceed `maxCells`,
+    * so the result is uniform-level: `(cells, achievedLevel)` — join
+    * point-side cells at `achievedLevel` (encode or [[parent]]) against
+    * the list. */
+  def coverCap(lat: Double, lon: Double, radiusMeters: Double, level: Int,
+               maxCells: Int = 256): (Seq[Long], Int) = {
+    require(level >= 0 && level <= MaxLevel && radiusMeters >= 0 && maxCells >= 6)
+    val q = unitVector(lat, lon)
+    val capAngle = radiusMeters / EarthRadiusMeters
+    var frontier: Seq[Long] = (0 until 6).map(f => (f.toLong << 5) | 0L)
+    var l = 0
+    while (l < level) {
+      val next = frontier.flatMap(children)
+        .filter(c => angle(centerVec(c), q) <= capAngle + circumRadiusRad(c))
+      if (next.size > maxCells) return (frontier, l)
+      frontier = next
+      l += 1
+    }
+    (frontier, l)
+  }
 }

@@ -95,6 +95,41 @@ object SpatialOps {
       org.apache.spark.sql.GraftBridge.expression(lat.cast("double")),
       org.apache.spark.sql.GraftBridge.expression(lon.cast("double")), level))
 
+  /** Radius (spherical-cap) join on the S2 grid: every (query, point) pair
+    * within `radiusMeters` great-circle distance. Queries
+    * (`query_id`, `lat`, `lon`) are driver-collected (broadcast-small, the
+    * [[polygonJoin]] contract); each cap covers via
+    * [[S2Cell.coverCap]] (provable superset, conservative
+    * circumradius descent), covers are normalized to the COARSEST achieved
+    * level so one equi-join key serves all queries (parents of a superset
+    * cover are still a superset), then the broadcast (query_id, cell) list
+    * equi-joins the points' cells and exact haversine refines. No cross
+    * product at any scale: candidate volume is cover cells × cell
+    * occupancy, not |queries| × |points|. */
+  def s2RadiusJoin(points: DataFrame, queries: DataFrame, radiusMeters: Double,
+                   level: Int = 10, maxCellsPerQuery: Int = 256): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val qs = queries.select("query_id", "lat", "lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val covers = qs.map { case (id, la, lo) =>
+      (id, S2Cell.coverCap(la, lo, radiusMeters, level, maxCellsPerQuery))
+    }
+    // empty query set ⇒ empty result with the right schema
+    val minL = if (covers.isEmpty) 0 else covers.map(_._2._2).min
+    val coverDF = covers.toSeq.flatMap { case (id, (cells, l)) =>
+      cells.map(c => (id, S2Cell.parent(c, minL))).distinct
+    }.toDF("query_id", "qcell")
+    val qll = qs.toSeq.toDF("query_id", "q_lat", "q_lon")
+    points
+      .withColumn("pcell", s2CellId(col("lat"), col("lon"), minL))
+      .join(broadcast(coverDF), col("pcell") === col("qcell"))
+      .join(broadcast(qll), "query_id")
+      .filter(haversineMeters(col("lat"), col("lon"),
+        col("q_lat"), col("q_lon")) <= radiusMeters)
+      .drop("pcell", "qcell", "q_lat", "q_lon")
+  }
+
   /** Great-circle distance in meters (haversine), pure Column math. */
   def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val r = 6371008.8

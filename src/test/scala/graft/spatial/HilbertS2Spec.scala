@@ -207,6 +207,78 @@ class HilbertS2Spec extends AnyFunSuite {
     assert(zRatio > 10.0, s"equirect spread unexpectedly tight: $zRatio")
   }
 
+  test("S2Cell: children partition the parent; circumradius shrinks with level") {
+    val rng = new scala.util.Random(29)
+    (1 to 500).foreach { _ =>
+      val lat = rng.nextDouble() * 180 - 90
+      val lon = rng.nextDouble() * 360 - 180
+      val l = rng.nextInt(15)
+      val c = S2Cell.encode(lat, lon, l)
+      val kids = S2Cell.children(c)
+      assert(kids.size === 4 && kids.distinct.size === 4)
+      kids.foreach(k => assert(S2Cell.parent(k, l) === c))
+      // the child containing the point is the point's own finer cell
+      assert(kids.contains(S2Cell.encode(lat, lon, l + 1)))
+      assert(S2Cell.circumRadiusRad(S2Cell.encode(lat, lon, l + 1)) <=
+        S2Cell.circumRadiusRad(c) + 1e-12)
+    }
+  }
+
+  test("S2Cell.coverCap is a superset of the cap, incl. poles and antimeridian") {
+    val rng = new scala.util.Random(31)
+    val caps = Seq(
+      (48.9, 2.4, 500e3), (84.0, 0.0, 800e3), (-89.0, 10.0, 300e3),
+      (0.0, 179.9, 1000e3), (-33.9, 151.2, 2000e3)) ++
+      (1 to 15).map(_ => (rng.nextDouble() * 180 - 90,
+        rng.nextDouble() * 360 - 180, rng.nextDouble() * 3000e3 + 10e3))
+    caps.foreach { case (qla, qlo, r) =>
+      val (cells, l) = S2Cell.coverCap(qla, qlo, r, level = 10)
+      assert(cells.nonEmpty && cells.distinct.size === cells.size)
+      cells.foreach(c => assert(S2Cell.level(c) === l))
+      // sample points inside the cap: move from the center along random
+      // bearings by a random fraction of the radius (spherical destination)
+      val angR = r / S2Cell.EarthRadiusMeters
+      (1 to 100).foreach { _ =>
+        val brg = rng.nextDouble() * 2 * math.Pi
+        val dist = rng.nextDouble() * angR
+        val la1 = qla * S2Cell.DegToRad; val lo1 = qlo * S2Cell.DegToRad
+        val la2 = math.asin(math.sin(la1) * math.cos(dist) +
+          math.cos(la1) * math.sin(dist) * math.cos(brg))
+        val lo2 = lo1 + math.atan2(
+          math.sin(brg) * math.sin(dist) * math.cos(la1),
+          math.cos(dist) - math.sin(la1) * math.sin(la2))
+        val lat2 = la2 / S2Cell.DegToRad
+        val lon2 = ((lo2 / S2Cell.DegToRad + 540.0) % 360.0) - 180.0
+        assert(cells.contains(S2Cell.encode(lat2, lon2, l)),
+          s"point ($lat2,$lon2) at ${dist * S2Cell.EarthRadiusMeters} m " +
+            s"escaped the ($qla,$qlo,$r) cover at level $l")
+      }
+    }
+  }
+
+  test("s2RadiusJoin equals the brute haversine join on the sf0.001 nodes") {
+    import graft.fixtures.DeterministicGen
+    val nodes = DeterministicGen.elements(0.001)
+      .filter(_.otype == "node").map(e => (e.id, e.lat.get, e.lon.get))
+      .toDF("id", "lat", "lon")
+    val qs = Seq((1L, 48.905, 2.405), (2L, -33.905, 151.205),
+      (3L, 84.005, 0.005)).toDF("query_id", "lat", "lon")
+    val r = 1500000.0
+    val got = SpatialOps.s2RadiusJoin(nodes, qs, r, level = 8)
+      .select("query_id", "id").as[(Long, Long)].collect().sorted
+    val brute = nodes.crossJoin(qs.select(col("query_id"),
+        col("lat").as("qla"), col("lon").as("qlo")))
+      .filter(SpatialOps.haversineMeters(col("lat"), col("lon"),
+        col("qla"), col("qlo")) <= r)
+      .select("query_id", "id").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === brute.toSeq)
+    assert(brute.nonEmpty, "degenerate fixture: no pairs in radius")
+    // and the engine path builds no cartesian product
+    val plan = SpatialOps.s2RadiusJoin(nodes, qs, r, level = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   // --- Column mirrors ------------------------------------------------------
 
   private lazy val adversarialDF = {
