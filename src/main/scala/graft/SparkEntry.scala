@@ -66,10 +66,21 @@ object SparkEntry {
     * (cellParent), the oracle re-encodes at level 6 from scratch — their
     * agreement is the parent-prefix property checked end-to-end. */
   private def s2DensityOracle(level: Int, cellAlias: String): String = {
+    val body = s2CellStages(nodesP, level, Nil, cellAlias)
+    s"""SELECT $cellAlias, count(*) AS n FROM ($body) c
+       |GROUP BY $cellAlias ORDER BY $cellAlias""".stripMargin
+  }
+
+  /** The encoder chain as a standalone query over `src` (any SQL yielding
+    * `lat`, `lon` plus the `carry` columns, which ride through every
+    * stage): SELECT carry…, <cell> AS cellAlias. */
+  private def s2CellStages(src: String, level: Int, carry: Seq[String],
+                           cellAlias: String): String = {
     val nGrid = 1L << level
     val d2r = graft.spatial.S2Cell.DegToRad.toString
     val pos = graft.spatial.HilbertCurve.Pos
     val nxt = graft.spatial.HilbertCurve.Next
+    val cc = carry.map(_ + ", ").mkString
     def stLookup(c: String): String =
       s"CASE WHEN $c >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * $c) " +
         s"ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * $c) END"
@@ -80,19 +91,19 @@ object SparkEntry {
       val q = s"((((i >> $k) & 1) * 2) | ((j >> $k) & 1))"
       val idx2 = s"(((st * 4) | $q) * 2)"
       s"""h${s + 1} AS (
-         |  SELECT face, i, j,
+         |  SELECT ${cc}face, i, j,
          |    ((d * 4) | (($pos >> $idx2) & 3)) AS d,
          |    (($nxt >> $idx2) & 3) AS st
          |  FROM h$s)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS ($nodesP),
+    s"""WITH p AS ($src),
        |vec AS (
-       |  SELECT cos(lat * $d2r) * cos(lon * $d2r) AS vx,
+       |  SELECT ${cc}cos(lat * $d2r) * cos(lon * $d2r) AS vx,
        |         cos(lat * $d2r) * sin(lon * $d2r) AS vy,
        |         sin(lat * $d2r) AS vz
        |  FROM p),
        |fc AS (
-       |  SELECT vx, vy, vz,
+       |  SELECT ${cc}vx, vy, vz,
        |    CASE WHEN abs(vx) >= abs(vy) AND abs(vx) >= abs(vz)
        |           THEN (CASE WHEN vx >= 0 THEN 0 ELSE 3 END)
        |         WHEN abs(vy) >= abs(vz)
@@ -100,7 +111,7 @@ object SparkEntry {
        |         ELSE (CASE WHEN vz >= 0 THEN 2 ELSE 5 END) END AS face
        |  FROM vec),
        |uv AS (
-       |  SELECT face,
+       |  SELECT ${cc}face,
        |    CASE face WHEN 0 THEN vy / vx WHEN 1 THEN -vx / vy
        |              WHEN 2 THEN -vx / vz WHEN 3 THEN vz / vx
        |              WHEN 4 THEN vz / vy ELSE -vy / vz END AS u,
@@ -109,16 +120,38 @@ object SparkEntry {
        |              WHEN 4 THEN -vx / vy ELSE -vx / vz END AS v
        |  FROM fc),
        |h0 AS (
-       |  SELECT face,
+       |  SELECT ${cc}face,
        |    ${gridIdx(stLookup("u"))} AS i,
        |    ${gridIdx(stLookup("v"))} AS j,
        |    CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS st
        |  FROM uv),
        |$hilbertStages
-       |SELECT $cellAlias, count(*) AS n FROM (
-       |  SELECT ((((CAST(face AS BIGINT) << ${2 * level}) | d) << 5) | $level) AS $cellAlias
-       |  FROM h$level) c
-       |GROUP BY $cellAlias ORDER BY $cellAlias""".stripMargin
+       |SELECT $cc((((CAST(face AS BIGINT) << ${2 * level}) | d) << 5) | $level) AS $cellAlias
+       |FROM h$level""".stripMargin
+  }
+
+  /** End-to-end geospatial pipeline oracle: hot tag filter (has-key
+    * `highway` ⟺ `k % 3 = 0`, the ofl_has_key derivation) → polygon
+    * containment (the pipOracle half-planes) → per-polygon S2 tile density
+    * (the encoder chain with `polygon_id` carried through every stage). */
+  private lazy val pipelineSpatialOracle: String = {
+    val hwNodes = s"SELECT $latExpr AS lat, $lonExpr AS lon FROM orders " +
+      "WHERE o_orderkey % 20 < 14 AND o_orderkey % 3 = 0"
+    val inpoly =
+      s"""WITH s AS ($hwNodes)
+         |SELECT CAST(1 AS BIGINT) AS polygon_id, lat, lon FROM s
+         |  WHERE lat > -20.005 AND lat < 20.005 AND lon > -60.005 AND lon < -20.005
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), lat, lon FROM s
+         |  WHERE lat > 30.005 AND lat < 60.005 AND lon > 100.005 AND lon < 150.005
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), lat, lon FROM s
+         |  WHERE (60.0*(lat-0.005) - 30.0*(lon-100.005)) < 0
+         |    AND (60.01*(lon-160.005)) < 0
+         |    AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0""".stripMargin
+    val body = s2CellStages(inpoly, 6, Seq("polygon_id"), "tile")
+    s"""SELECT polygon_id, tile, count(*) AS n FROM ($body) c
+       |GROUP BY polygon_id, tile ORDER BY polygon_id, tile""".stripMargin
   }
 
   /** Way-geometry derivation shared by the way and relation oracles (no
@@ -290,6 +323,8 @@ object SparkEntry {
     // engine shifts the level-12 cell to its level-6 ancestor; the oracle
     // re-encodes at level 6 from scratch (parent-prefix property, gated)
     "spatial_s2_tile" -> s2DensityOracle(6, "tile"),
+
+    "pipeline_spatial" -> pipelineSpatialOracle,
 
     // the cover prejoin is a provable superset, so the oracle is the bare
     // refine: haversine ≤ r per (query, point) pair

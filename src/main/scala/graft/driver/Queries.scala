@@ -274,6 +274,21 @@ object Queries {
         .groupBy("tile").agg(count(lit(1)).as("n"))
         .orderBy("tile")
     },
+    // END-TO-END geospatial pipeline — the composed shape a real spatial
+    // prep run executes: hot tag filter (pushed t_highway IsNotNull) →
+    // polygon containment (cover prejoin + exact refine) → per-polygon S2
+    // tile density; the oracle re-derives every stage (tag arithmetic,
+    // half-planes, full encoder chain with polygon_id carried through)
+    "pipeline_spatial" -> { (spark, sfDir) =>
+      val view = spark.read.parquet(Queries.hotViewDir(spark, sfDir))
+      val nodes = FilterEngine.filterView(view, "highway")
+        .filter(col("type") === "node").select("id", "lat", "lon")
+      val joined = SpatialOps.polygonJoin(nodes, Queries.pipPolys(spark), level = 5)
+      joined.select(col("polygon_id"),
+          SpatialOps.s2CellId(col("lat"), col("lon"), 6).as("tile"))
+        .groupBy("polygon_id", "tile").agg(count(lit(1)).as("n"))
+        .orderBy("polygon_id", "tile")
+    },
     // spherical-cap radius join on the S2 grid: conservative coverCap
     // prejoin (superset by triangle inequality) + exact haversine refine;
     // query 3 sits near the pole so the cover crosses onto face 2
