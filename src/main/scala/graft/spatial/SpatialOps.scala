@@ -110,7 +110,8 @@ object SpatialOps {
                    level: Int = 10, maxCellsPerQuery: Int = 256): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val qs = queries.select("query_id", "lat", "lon").collect()
+    val qs = queries.select(col("query_id").cast("long"),
+        col("lat").cast("double"), col("lon").cast("double")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val covers = qs.map { case (id, la, lo) =>
       (id, S2Cell.coverCap(la, lo, radiusMeters, level, maxCellsPerQuery))
