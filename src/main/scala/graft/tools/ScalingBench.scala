@@ -82,6 +82,19 @@ object ScalingBench {
       return
     }
 
+    // mode "s2": the spherical-cell family — level-12 S2 density (native
+    // encoder kernel + hash agg) and the coverCap radius join over the
+    // 12M-point hotspot fixture. The encode is map-side; the join's
+    // broadcast-cover + refine is what needs the N-vs-4N pair.
+    if (args.length > 2 && args(2) == "s2") {
+      // `n` here is the POINT count (default 48M — the 12M fixture's 1-3 s
+      // walls were dispatch-dominated and under-read the efficiency)
+      runS2(spark, master, cores,
+        if (args.length > 1) args(1).toLong else 48000000L)
+      spark.stop()
+      return
+    }
+
     // mode "typed" (default) measures the materialized-view suite (cold
     // array-path compile, comparable with the r2/r3 tables); mode "hot"
     // measures the same suite over the HotTags layout with the hot-aware
@@ -198,6 +211,43 @@ object ScalingBench {
     System.err.println(f"GEOM_PART distance_join $tDist%.2f s ($nPairs pairs)")
 
     println(f"""{"scaling_probe":true,"mode":"geom","master":"$master","cores":$cores,"docs":$nDocs,"pts_rows":$ptsN,"dist_pairs":$nPairs,"way_geom_sec":$tWay%.2f,"way_geom_rows_per_sec":${nDocs / tWay}%.0f,"distance_join_sec":$tDist%.2f,"distance_join_rows_per_sec":${ptsN / tDist}%.0f}""")
+  }
+
+  /** S2-family scaling run: level-12 density over the shared 12M-point
+    * hotspot fixture, and the spherical-cap radius join (the hotspot
+    * centers as queries, 100 km radius, level-10 covers). Fixture cached
+    * and shared across both parallelism levels. */
+  private def runS2(spark: SparkSession, master: String, cores: Int,
+                    ptsN: Long): Unit = {
+    import graft.spatial.SpatialOps
+    val ptsPath = s"/root/repo/target/bench/pts_dist_n$ptsN"
+    if (!new java.io.File(ptsPath + "/_SUCCESS").exists())
+      DeterministicGen.pointsDF(spark, ptsN)
+        .write.mode("overwrite").parquet(ptsPath)
+    val points = spark.read.parquet(ptsPath)
+      .withColumnRenamed("doc_id", "id")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val density = points
+      .select(SpatialOps.s2CellId(col("lat"), col("lon"), 12).as("cell"))
+      .groupBy("cell").count()
+    density.count() // warm
+    val tDen = Seq(time(density.count()), time(density.count()),
+      time(density.count())).min
+    System.err.println(f"S2_PART density $tDen%.2f s")
+
+    import spark.implicits._
+    val queries = DeterministicGen.hotspots.zipWithIndex
+      .map { case ((la, lo), i) => (i.toLong, la, lo) }
+      .toDF("query_id", "lat", "lon")
+    val radius = SpatialOps.s2RadiusJoin(points, queries, 100000.0, level = 10)
+    val nPairs = radius.count() // warm
+    val tRad = Seq(time(radius.count()), time(radius.count())).min
+    System.err.println(f"S2_PART radius_join $tRad%.2f s ($nPairs pairs)")
+
+    println(f"""{"scaling_probe":true,"mode":"s2","master":"$master","cores":$cores,"pts_rows":$ptsN,"radius_pairs":$nPairs,"s2_density_sec":$tDen%.2f,"s2_density_rows_per_sec":${ptsN / tDen}%.0f,"radius_join_sec":$tRad%.2f,"radius_join_rows_per_sec":${ptsN / tRad}%.0f}""")
   }
 
   /** Ops-layer scaling run: same parquet fixtures, same jobs, two
