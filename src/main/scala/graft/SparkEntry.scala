@@ -30,19 +30,25 @@ object SparkEntry {
   private val lonExpr = "((o_orderkey * 104729) % 36000 * 100000 - 1800000000) / 10000000.0"
   private val nodesP = s"SELECT $idExpr AS id, $latExpr AS lat, $lonExpr AS lon FROM orders WHERE o_orderkey % 20 < 14"
 
-  private lazy val pipOracle: String =
+  /** Per-polygon membership predicates (over `lat`/`lon`) for the pipPolys
+    * fixture — ONE definition serving both the pip oracles and the
+    * pipeline oracle, so the fixture and its SQL derivations cannot drift
+    * one-sidedly. */
+  private val polyPreds: Seq[(Int, String)] = Seq(
+    1 -> "lat > -20.005 AND lat < 20.005 AND lon > -60.005 AND lon < -20.005",
+    2 -> "lat > 30.005 AND lat < 60.005 AND lon > 100.005 AND lon < 150.005",
+    3 -> ("(60.0*(lat-0.005) - 30.0*(lon-100.005)) < 0 " +
+      "AND (60.01*(lon-160.005)) < 0 " +
+      "AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0"))
+
+  private lazy val pipOracle: String = {
+    val arms = polyPreds.map { case (pid, pred) =>
+      s"SELECT CAST($pid AS BIGINT) AS polygon_id, id FROM p WHERE $pred"
+    }.mkString("\nUNION ALL\n")
     s"""WITH p AS ($nodesP)
-       |SELECT CAST(1 AS BIGINT) AS polygon_id, id FROM p
-       |  WHERE lat > -20.005 AND lat < 20.005 AND lon > -60.005 AND lon < -20.005
-       |UNION ALL
-       |SELECT CAST(2 AS BIGINT), id FROM p
-       |  WHERE lat > 30.005 AND lat < 60.005 AND lon > 100.005 AND lon < 150.005
-       |UNION ALL
-       |SELECT CAST(3 AS BIGINT), id FROM p
-       |  WHERE (60.0*(lat-0.005) - 30.0*(lon-100.005)) < 0
-       |    AND (60.01*(lon-160.005)) < 0
-       |    AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0
+       |$arms
        |ORDER BY polygon_id, id""".stripMargin
+  }
 
   private lazy val bboxPruneOracle: String =
     s"""WITH p AS ($nodesP)
@@ -137,18 +143,12 @@ object SparkEntry {
   private lazy val pipelineSpatialOracle: String = {
     val hwNodes = s"SELECT $latExpr AS lat, $lonExpr AS lon FROM orders " +
       "WHERE o_orderkey % 20 < 14 AND o_orderkey % 3 = 0"
+    val arms = polyPreds.map { case (pid, pred) =>
+      s"SELECT CAST($pid AS BIGINT) AS polygon_id, lat, lon FROM s WHERE $pred"
+    }.mkString("\nUNION ALL\n")
     val inpoly =
       s"""WITH s AS ($hwNodes)
-         |SELECT CAST(1 AS BIGINT) AS polygon_id, lat, lon FROM s
-         |  WHERE lat > -20.005 AND lat < 20.005 AND lon > -60.005 AND lon < -20.005
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), lat, lon FROM s
-         |  WHERE lat > 30.005 AND lat < 60.005 AND lon > 100.005 AND lon < 150.005
-         |UNION ALL
-         |SELECT CAST(3 AS BIGINT), lat, lon FROM s
-         |  WHERE (60.0*(lat-0.005) - 30.0*(lon-100.005)) < 0
-         |    AND (60.01*(lon-160.005)) < 0
-         |    AND (-60.0*(lat+30.005) - 30.01*(lon-160.005)) < 0""".stripMargin
+         |$arms""".stripMargin
     val body = s2CellStages(inpoly, 6, Seq("polygon_id"), "tile")
     s"""SELECT polygon_id, tile, count(*) AS n FROM ($body) c
        |GROUP BY polygon_id, tile ORDER BY polygon_id, tile""".stripMargin

@@ -198,9 +198,15 @@ object FilterEngine {
     val base = OsmView.deriveFast(docs) // single-pass decode: 1.8× the HOF derivation
       // enforce the never-null-tag-VALUE invariant the hot compile shape
       // depends on (t_<key>.isNotNull ⟺ key present): a source that carries
-      // null tag values must not silently diverge hot vs cold
-      .withColumn("tags", org.apache.spark.sql.functions.filter(col("tags"),
-        t => t.getField("value").isNotNull))
+      // null tag values must not silently diverge hot vs cold. The OUTER
+      // coalesce enforces the never-null-tags-ARRAY invariant on top: a
+      // null array makes exists() three-valued (NULL, not false), which
+      // would break HotTagRewrite's null-exactness under Not — the view
+      // guarantees exists over tags is two-valued, where the rule needs it
+      .withColumn("tags", coalesce(
+        org.apache.spark.sql.functions.filter(col("tags"),
+          t => t.getField("value").isNotNull),
+        array().cast("array<struct<key:string,value:string>>")))
     // hot keys come from THIS corpus's key-frequency stats (one extra
     // aggregation pass at build time), tagged into column metadata so
     // HotTags.forSchema reads the mapping back from the written view. The

@@ -192,6 +192,30 @@ object DeterministicGen {
     * (the urban-skew shape the kNN/PIP operators must survive), 30%
     * world-uniform — all pure Column arithmetic on executors, no driver
     * loop. */
+  /** The BboxProbe/CurveProbe layout fixture: 70% of points hash-assigned
+    * to a [[hotspots]] cluster with ±0.7°/±0.9° jitter, 30% uniform — one
+    * definition so the two probes (which SHARE the cached
+    * `target/bench/bbox_z_n*` fixture) can never drift apart. Column
+    * layout `(id, lat, lon)`, 256 gen partitions, hash(id, seed) mixing —
+    * byte-identical to the generator both probes previously inlined. */
+  def hotspotMixPointsDF(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hs = hotspots
+    val lats = array(hs.map(h => lit(h._1)): _*)
+    val lons = array(hs.map(h => lit(h._2)): _*)
+    val id = col("id")
+    val hot = pmod(hash(id, lit(1)), lit(100)) < 70
+    val hIdx = pmod(hash(id, lit(2)), lit(hs.size))
+    val jLat = (pmod(hash(id, lit(3)), lit(2001)).cast("double") - 1000.0) / 1000.0 * 0.7
+    val jLon = (pmod(hash(id, lit(4)), lit(2001)).cast("double") - 1000.0) / 1000.0 * 0.9
+    val uLat = pmod(hash(id, lit(5)), lit(170001)).cast("double") / 1000.0 - 85.0
+    val uLon = pmod(hash(id, lit(6)), lit(360001)).cast("double") / 1000.0 - 180.0
+    spark.range(0, n, 1, 256).select(
+      id,
+      when(hot, get(lats, hIdx) + jLat).otherwise(uLat).as("lat"),
+      when(hot, get(lons, hIdx) + jLon).otherwise(uLon).as("lon"))
+  }
+
   def pointsDF(spark: SparkSession, n: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val id = col("id")

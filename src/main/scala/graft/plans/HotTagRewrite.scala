@@ -37,7 +37,9 @@ import graft.engine.HotTags
   * makes the rewrite an equivalence, sound under `Not`. Both conjuncts are
   * source-pushable, unlike a `coalesce(equalTo, false)` wrapper.
   *
-  * Contract (the hot view guarantees both at materializeView time):
+  * Contract (the hot view ENFORCES the first two at materializeView
+  * time): the tags ARRAY is never null (coalesced to empty at view build —
+  * a null array would make `exists` three-valued and break the Not case),
   * tag VALUES are never null (null-valued tags are dropped from the array
   * before projection), and keys are unique per element (the OSM data
   * model; also what makes the compiler's first-match semantics equal
@@ -102,18 +104,26 @@ object HotTagRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val hot: Map[String, Attribute] = child.output.iterator
+      // Provenance guard: a plan with MORE than one tags column in scope
+      // (a join of two hot views) cannot associate a t_<key> column with
+      // the tags array it was derived from — attribute metadata carries no
+      // source-relation link — so the rule backs off entirely rather than
+      // rewrite exists(v1.tags, …) against v2's hot column. Likewise a key
+      // served by two distinct hot attributes is dropped as ambiguous.
+      val tagsAttrs = child.output.filter(_.name == "tags")
+      val hotAll = child.output
         .filter(_.metadata.contains(HotTags.MetaKey))
-        .map(a => a.metadata.getString(HotTags.MetaKey) -> (a: Attribute))
-        .toMap
-      val tagsId: Option[ExprId] =
-        child.output.collectFirst { case a if a.name == "tags" => a.exprId }
-      if (hot.isEmpty || tagsId.isEmpty) f
+        .groupBy(_.metadata.getString(HotTags.MetaKey))
+      val hot: Map[String, Attribute] = hotAll.collect {
+        case (k, Seq(one)) => k -> (one: Attribute)
+      }
+      if (hot.isEmpty || tagsAttrs.size != 1) f
       else {
+        val tagsId = tagsAttrs.head.exprId
         val newCond = cond.transform {
           case ae: ArrayExists =>
             val onTags = ae.argument match {
-              case a: AttributeReference => a.exprId == tagsId.get
+              case a: AttributeReference => a.exprId == tagsId
               case _ => false
             }
             if (onTags) rewriteExists(ae, hot).getOrElse(ae) else ae

@@ -32,22 +32,7 @@ object BboxProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def points: DataFrame = {
-      val hs = DeterministicGen.hotspots
-      val lats = array(hs.map(h => lit(h._1)): _*)
-      val lons = array(hs.map(h => lit(h._2)): _*)
-      val id = col("id")
-      val hot = pmod(hash(id, lit(1)), lit(100)) < 70
-      val hIdx = pmod(hash(id, lit(2)), lit(hs.size))
-      val jLat = (pmod(hash(id, lit(3)), lit(2001)).cast("double") - 1000.0) / 1000.0 * 0.7
-      val jLon = (pmod(hash(id, lit(4)), lit(2001)).cast("double") - 1000.0) / 1000.0 * 0.9
-      val uLat = pmod(hash(id, lit(5)), lit(170001)).cast("double") / 1000.0 - 85.0
-      val uLon = pmod(hash(id, lit(6)), lit(360001)).cast("double") / 1000.0 - 180.0
-      spark.range(0, n, 1, 256).select(
-        id,
-        when(hot, get(lats, hIdx) + jLat).otherwise(uLat).as("lat"),
-        when(hot, get(lons, hIdx) + jLon).otherwise(uLon).as("lon"))
-    }
+    def points: DataFrame = DeterministicGen.hotspotMixPointsDF(spark, n)
 
     val zPath = s"/root/repo/target/bench/bbox_z_n$n"
     if (!new java.io.File(zPath + "/_SUCCESS").exists())

@@ -115,6 +115,30 @@ class HotTagRewriteSpec extends AnyFunSuite {
     assert(pq.count() === 1)
   }
 
+  test("backs off over a join of two hot views (ambiguous provenance)") {
+    // a pushable single-side predicate gets pushed below the join by the
+    // optimizer BEFORE this rule fires (one tags column in scope there —
+    // rewrite is then unambiguous and fine); to pin the guard we need a
+    // filter that STAYS above the join: a disjunction mixing both sides
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val base = s.read.parquet(hotViewPath)
+      base.as("a").join(base.as("b"), Seq("id"))
+        .filter(exists(col("a.tags"), t => t.getField("key") === "highway") ||
+          col("b.version") > 5)
+    }
+    val hot = q(hotSession)
+    // two tags columns in scope at the surviving Filter: the rule cannot
+    // associate t_highway with its source array, so the exists must SURVIVE
+    assert(hot.queryExecution.optimizedPlan.toString.contains("exists("),
+      "rule rewrote across ambiguous relations")
+    assert(hot.count() === q(spark).count())
+  }
+
+  test("the hot view enforces a never-null tags array (rule contract)") {
+    assert(spark.read.parquet(hotViewPath)
+      .filter(col("tags").isNull).count() === 0L)
+  }
+
   test("GraftExtensions registers the rule without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
