@@ -326,6 +326,16 @@ object SparkEntry {
 
     "pipeline_spatial" -> pipelineSpatialOracle,
 
+    // the S2 storage layout's prune layers are provable supersets, so the
+    // oracle is the bare haversine cap — same formula as spatial_s2_radius
+    "spatial_s2_cap" ->
+      s"""SELECT id FROM ($nodesP) p
+         |WHERE 2.0 * 6371008.8 * asin(sqrt(
+         |    pow(sin(radians(84.005 - p.lat) / 2), 2) +
+         |    cos(radians(p.lat)) * cos(radians(84.005)) *
+         |      pow(sin(radians(0.005 - p.lon) / 2), 2))) <= 1500000.0
+         |ORDER BY id""".stripMargin,
+
     // the cover prejoin is a provable superset, so the oracle is the bare
     // refine: haversine ≤ r per (query, point) pair
     "spatial_s2_radius" ->

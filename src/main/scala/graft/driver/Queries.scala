@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.compile.Compiler
 import graft.engine.FilterEngine
 import graft.ops.{Dedup, LangId, Similarity, TextOps}
-import graft.spatial.{GeomOps, SpatialLayout, SpatialOps}
+import graft.spatial.{GeomOps, S2Layout, SpatialLayout, SpatialOps}
 
 /** The driver-verified query suite: one entry per operator family
   * (SURVEY.md §2 + training-data ops + spatial layer). Every query is a real
@@ -273,6 +273,19 @@ object Queries {
       nodes.select(SpatialOps.cellParent(fine, 12, 6).as("tile"))
         .groupBy("tile").agg(count(lit(1)).as("n"))
         .orderBy("tile")
+    },
+    // the spherical-cap query through the S2-clustered STORAGE layout
+    // (directory pruning + pushed scell ranges + haversine refine) — the
+    // pole-adjacent center is the case the equirect bbox layout can't
+    // prune (a polar cap spans every longitude column of that grid)
+    "spatial_s2_cap" -> { (spark, sfDir) =>
+      val dir = Queries.materializedOnce("s2layout", sfDir) { d =>
+        val nodes = TpchOsm.view(spark, sfDir)
+          .filter(col("type") === "node").select("id", "lat", "lon")
+        S2Layout.materialize(nodes, d, coarseLevel = 3, fineLevel = 12)
+      }
+      S2Layout.capFilter(spark.read.parquet(dir), 84.005, 0.005, 1500000.0)
+        .select("id").orderBy("id")
     },
     // END-TO-END geospatial pipeline — the composed shape a real spatial
     // prep run executes: hot tag filter (pushed t_highway IsNotNull) →
