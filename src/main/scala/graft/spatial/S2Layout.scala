@@ -82,21 +82,15 @@ object S2Layout {
         val fine = f.metadata.getLong(MetaFine).toInt
         val coarse = f.metadata.getLong(MetaCoarse).toInt
         val ranges = capRanges(lat, lon, radiusMeters, fine, maxRanges)
-        val sPred = ranges
-          .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
-          .reduce(_ or _)
         // the cap cover may stop ABOVE `coarse` under its cell budget;
         // those coarser values would never equal the stored level-`coarse`
         // pcell values (level rides in the low bits), so expand to exactly
         // the coarse level (pure child expansion keeps the superset) and
-        // let the size cap below skip directory pruning if it ballooned
+        // let pruneScan's size cap skip directory pruning if it ballooned
         var (pCover, pl) = S2Cell.coverCap(lat, lon, radiusMeters, coarse)
         while (pl < coarse) { pCover = pCover.flatMap(S2Cell.children); pl += 1 }
-        val pruned =
-          if (layout.columns.contains(PartCol) && pCover.size <= maxPartitionList)
-            layout.filter(col(PartCol).isin(pCover: _*))
-          else layout
-        pruned.filter(sPred && exact)
+        SpatialLayout.pruneScan(layout, SortCol, PartCol, ranges, pCover,
+          maxPartitionList).filter(exact)
     }
   }
 }

@@ -52,6 +52,31 @@ object SpatialLayout {
   private def curveOf(m: org.apache.spark.sql.types.Metadata): String =
     if (m.contains(MetaCurve)) m.getString(MetaCurve) else "z"
 
+  /** The shared two-layer scan prune every clustered layout reads through
+    * (Z bbox, Hilbert bbox, S2 cap): partition-directory IN-list (skipped
+    * past `maxPartitionList` — the ranges still prune) + Or-of-ranges
+    * predicate on the sort column (pushed to the scan as row-group
+    * skipping). ONE definition so the semantics — including the
+    * empty-cover ⇒ `lit(false)` guard that once lived only in polygonJoin
+    * — cannot drift between layouts. Callers compose their exact
+    * predicate/join on the result. */
+  private[spatial] def pruneScan(layout: DataFrame, sortCol: String,
+                                 partCol: String, ranges: Seq[(Long, Long)],
+                                 pCover: Seq[Long],
+                                 maxPartitionList: Int): DataFrame = {
+    val sPred =
+      if (ranges.isEmpty) lit(false) // empty cover ⇒ empty result
+      else ranges
+        .map { case (lo, hi) => col(sortCol) >= lo && col(sortCol) < hi }
+        .reduce(_ or _)
+    val pruned =
+      if (layout.columns.contains(partCol) && pCover.nonEmpty &&
+        pCover.size <= maxPartitionList)
+        layout.filter(col(partCol).isin(pCover: _*))
+      else layout
+    pruned.filter(sPred)
+  }
+
   /** Coarse partition-directory cell column. */
   val PartCol = "pcell"
   /** Fine sort-order cell column (level constant per layout). */
@@ -128,15 +153,9 @@ object SpatialLayout {
           if (curveOf(f.metadata) == "hilbert")
             HCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, maxRanges)
           else ZCell.coverRanges(latMin, latMax, lonMin, lonMax, fine, maxRanges)
-        val zPred = ranges
-          .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
-          .reduce(_ or _)
         val pCover = ZCell.coverBBox(latMin, latMax, lonMin, lonMax, coarse)
-        val pruned =
-          if (layout.columns.contains(PartCol) && pCover.size <= maxPartitionList)
-            layout.filter(col(PartCol).isin(pCover: _*))
-          else layout
-        pruned.filter(zPred && exact)
+        pruneScan(layout, SortCol, PartCol, ranges, pCover, maxPartitionList)
+          .filter(exact)
     }
   }
 
@@ -184,20 +203,12 @@ object SpatialLayout {
           case (latMin, latMax, lonMin, lonMax) =>
             cover(latMin, latMax, lonMin, lonMax)
         })
-        // empty polygon set ⇒ empty join (reduce over zero ranges would throw)
-        val zPred =
-          if (ranges.isEmpty) lit(false)
-          else ranges
-            .map { case (lo, hi) => col(SortCol) >= lo && col(SortCol) < hi }
-            .reduce(_ or _)
         val pCells = boxes.toSeq.flatMap { case (latMin, latMax, lonMin, lonMax) =>
           ZCell.coverBBox(latMin, latMax, lonMin, lonMax, coarse)
         }.distinct
-        val pruned =
-          if (layout.columns.contains(PartCol) && pCells.size <= maxPartitionList)
-            layout.filter(col(PartCol).isin(pCells: _*))
-          else layout
-        SpatialOps.polygonJoin(pruned.filter(zPred), polygons, level)
+        SpatialOps.polygonJoin(
+          pruneScan(layout, SortCol, PartCol, ranges, pCells, maxPartitionList),
+          polygons, level)
           .drop(SortCol, PartCol)
     }
   }
