@@ -136,6 +136,31 @@ object SparkEntry {
        |FROM h$level""".stripMargin
   }
 
+  /** Pyramid oracle: one UNION ALL arm per level, each recomputing the
+    * Z-cell from scratch — grid floors + the Morton interleave expanded
+    * bit-by-bit (levels ≤ 8 need only 8 bit terms per axis; no shift
+    * tricks for DuckDB to get subtly wrong), `(morton << 5) | level`
+    * packing interpolated from the engine's layout. */
+  private def tilePyramidOracle(minL: Int, maxL: Int): String = {
+    def arm(l: Int): String = {
+      val n = 1L << l
+      def grid(e: String): String =
+        s"least(greatest(CAST(floor($e * $n) AS BIGINT), 0), ${n - 1})"
+      val x = grid("(lon + 180.0) / 360.0")
+      val y = grid("(90.0 - lat) / 180.0")
+      val morton = (0 until l).flatMap { b =>
+        Seq(s"(((x >> $b) & 1) << ${2 * b})", s"(((y >> $b) & 1) << ${2 * b + 1})")
+      }.mkString(" | ")
+      s"""SELECT ((($morton) << 5) | $l) AS cell
+         |FROM (SELECT $x AS x, $y AS y FROM p) g$l""".stripMargin
+    }
+    val arms = (minL to maxL).map(arm).mkString("\nUNION ALL\n")
+    s"""WITH p AS ($nodesP)
+       |SELECT cell, count(*) AS n FROM (
+       |$arms
+       |) u GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** End-to-end geospatial pipeline oracle: hot tag filter (has-key
     * `highway` ⟺ `k % 3 = 0`, the ofl_has_key derivation) → polygon
     * containment (the pipOracle half-planes) → per-polygon S2 tile density
@@ -325,6 +350,8 @@ object SparkEntry {
     "spatial_s2_tile" -> s2DensityOracle(6, "tile"),
 
     "pipeline_spatial" -> pipelineSpatialOracle,
+
+    "spatial_tile_pyramid" -> tilePyramidOracle(4, 8),
 
     // the S2 storage layout's prune layers are provable supersets, so the
     // oracle is the bare haversine cap — same formula as spatial_s2_radius

@@ -274,6 +274,14 @@ object Queries {
         .groupBy("tile").agg(count(lit(1)).as("n"))
         .orderBy("tile")
     },
+    // the raster-pyramid rollup: per-cell densities for FIVE zoom levels
+    // in one pass (explode + single hash agg); the oracle recomputes each
+    // level's morton interleave bit-by-bit and UNION ALLs them
+    "spatial_tile_pyramid" -> { (spark, sfDir) =>
+      val nodes = TpchOsm.view(spark, sfDir)
+        .filter(col("type") === "node").select("lat", "lon")
+      SpatialOps.tilePyramid(nodes, 4, 8).orderBy("cell")
+    },
     // the spherical-cap query through the S2-clustered STORAGE layout
     // (directory pruning + pushed scell ranges + haversine refine) — the
     // pole-adjacent center is the case the equirect bbox layout can't

@@ -95,6 +95,23 @@ object SpatialOps {
       org.apache.spark.sql.GraftBridge.expression(lat.cast("double")),
       org.apache.spark.sql.GraftBridge.expression(lon.cast("double")), level))
 
+  /** Multi-level tile-density pyramid in ONE pass — the rollup a tiling
+    * engine builds before serving (zoom z densities for z ∈ [minLevel,
+    * maxLevel]). Each point explodes to its cell at every level, then one
+    * hash aggregation: equivalent to `maxLevel − minLevel + 1` separate
+    * [[cellDensity]] jobs but reads and shuffles the input ONCE, and
+    * map-side partial aggregation collapses the per-level duplication
+    * before the exchange (cells per partition, not rows × levels). The
+    * level rides in the cell value's low 5 bits, so one output column
+    * serves every zoom. */
+  def tilePyramid(points: DataFrame, minLevel: Int, maxLevel: Int): DataFrame = {
+    require(0 <= minLevel && minLevel <= maxLevel && maxLevel <= ZCell.MaxLevel)
+    val cells = array((minLevel to maxLevel)
+      .map(l => cellId(col("lat"), col("lon"), l)): _*)
+    points.select(explode(cells).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+  }
+
   /** Radius (spherical-cap) join on the S2 grid: every (query, point) pair
     * within `radiusMeters` great-circle distance. Queries
     * (`query_id`, `lat`, `lon`) are driver-collected (broadcast-small, the

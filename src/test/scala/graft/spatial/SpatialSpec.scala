@@ -256,4 +256,20 @@ class SpatialSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted === plain)
   }
+
+  test("tilePyramid equals the per-level density union, one level per 5 low bits") {
+    val got = SpatialOps.tilePyramid(nodesDF, 3, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (3 to 6).flatMap { l =>
+      nodesDF.withColumn("cell", SpatialOps.cellId(col("lat"), col("lon"), l))
+        .groupBy("cell").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+    }.toMap
+    assert(got === expected)
+    // each level's total equals the point count (every point in one cell)
+    val n = nodesDF.count()
+    (3 to 6).foreach { l =>
+      assert(got.collect { case (c, cnt) if ZCell.level(c) == l => cnt }.sum === n)
+    }
+  }
 }
