@@ -28,10 +28,11 @@ object OsmView {
     * `spans` instead of ~12 HOF passes (graft.exprs.DecodeOsmSpans). Same
     * output schema and values (equivalence-tested). Use it when ALL fields
     * are needed — full-view materialization runs 1.8× faster. For in-flight
-    * FILTERS prefer [[derivePruned]]: its per-field masked decodes let
-    * Catalyst drop whole passes for untouched fields AND stay codegen'd
-    * (~12× the HOF [[derive]] path on the bench suite); [[derive]] remains
-    * the pure-Column reference the decoders are equivalence-tested against.
+    * FILTERS prefer [[derivePruned]] (what [[derive]] now delegates to):
+    * its per-field masked decodes let Catalyst drop whole passes for
+    * untouched fields AND stay codegen'd (~12× the HOF [[deriveHof]] path
+    * on the bench suite); [[deriveHof]] remains the pure-Column reference
+    * the decoders are equivalence-tested against.
     * The struct is
     * materialized once per row in an inner projection; the outer projection
     * extracts fields (CollapseProject keeps the expensive alias
@@ -86,8 +87,25 @@ object OsmView {
 
   /** Typed view columns derived from `spans`. If the physical table already
     * carries `type`/`seq` (partition + order columns), they are reused so
-    * partition pruning works; otherwise they are derived. */
-  def derive(docs: DataFrame): DataFrame = {
+    * partition pruning works; otherwise they are derived.
+    *
+    * Since round 6 this IS the pruned codegen'd decode ([[derivePruned]]):
+    * the general-purpose view must not pay the ~12-pass CodegenFallback HOF
+    * derivation (kept below as [[deriveHof]], the equivalence oracle) —
+    * measured ~20× on the bench filter suite (spans_decode 89 s → ~4 s),
+    * because each consumer's untouched fields prune to zero decode passes
+    * and the remaining passes stay inside whole-stage codegen. Output
+    * schema and values are identical (CodecSpec pins both decoders against
+    * [[deriveHof]] field-for-field and against the generator's element
+    * list). */
+  def derive(docs: DataFrame): DataFrame = derivePruned(docs)
+
+  /** The pure-Column HOF reference derivation — ~12 higher-order-function
+    * passes over `spans`, each CodegenFallback. Kept ONLY as the
+    * independent equivalence oracle for the codegen'd decoders
+    * ([[deriveFast]]/[[derivePruned]], CodecSpec); never use on a hot
+    * path. */
+  private[graft] def deriveHof(docs: DataFrame): DataFrame = {
     val hasType = docs.columns.contains("type")
     val hasSeq = docs.columns.contains("seq")
     val tagSpans = filter(col("spans"), s => s.getField("kind") === "tag")

@@ -260,19 +260,30 @@ object Dedup {
     * `shared / min(|A|, |B|)` ≥ `threshold`. Returns
     * (key_a, key_b, shared, overlap) with key_a < key_b.
     *
-    * Scale shape: the fingerprint join is the only shuffle and its keys are
-    * 64-bit hashes; boilerplate text (license headers, templates) makes HOT
-    * fingerprints whose buckets go quadratic, so fingerprints appearing in
-    * more than `maxDocFreq` documents are dropped from CANDIDATE GENERATION
-    * only (a pair must share at least one rare fingerprint to be
-    * considered; documents duplicated more than `maxDocFreq` times are
-    * exact-dedup's job, not a similarity query). Candidates are then
-    * PREFILTERED on a provable overlap upper bound computed from narrow
-    * rows only (shared-rare count from the band join + per-doc totals/hot
-    * counts) before any fingerprint array is shuffled, and verification
-    * finally recomputes `shared` and the overlap coefficient from the FULL
-    * fingerprint sets of each surviving pair, so hot fingerprints still
-    * count toward the reported overlap.
+    * Scale shape (round-6 form): the winnow kernel runs EXACTLY ONCE — the
+    * exploded (key, n_total, fingerprint) rows are materialized eagerly
+    * (`localCheckpoint`) and every downstream branch (doc-frequency table,
+    * candidate join, per-doc stats, exact verify) reads the materialized
+    * narrow rows. The previous plan re-derived the fingerprints on four
+    * branches; AQE exchange reuse deduplicated the f-keyed ones but the
+    * key-keyed stats/verify branches each re-ran the O(chars) kernel over
+    * the whole corpus (before/after numbers in OPTIMIZATION_r06.md).
+    * This is the guide-§8 proxy pattern: one decision
+    * pass derives the lightweight rows, and nothing re-reads the text.
+    *
+    * Hot-fingerprint valve: boilerplate text (license headers, templates)
+    * makes HOT fingerprints whose buckets go quadratic, so fingerprints
+    * appearing in more than `maxDocFreq` documents are dropped from
+    * CANDIDATE GENERATION only (a pair must share at least one rare
+    * fingerprint to be considered; documents duplicated more than
+    * `maxDocFreq` times are exact-dedup's job, not a similarity query).
+    * Candidates are then PREFILTERED on a provable overlap upper bound
+    * (shared-rare count from the band join + per-doc totals/hot counts),
+    * and verification recomputes `shared` over ALL fingerprints of each
+    * surviving pair from the materialized fingerprint table: the surviving
+    * pair list is materialized (broadcast-sized), so the two re-attach
+    * joins stream the table once each and no fingerprint array is ever
+    * shuffled. Hot fingerprints still count toward the reported overlap.
     *
     * Corpus caveat: on template/low-vocabulary corpora the fingerprint space
     * collapses (few distinct window-min values ⇒ high document frequency for
@@ -280,46 +291,55 @@ object Dedup {
     * raise `k` (longer grams ⇒ more distinct fingerprints), raise
     * `threshold`, or lower `maxDocFreq` before running at scale — and treat
     * a mostly-hot fingerprint distribution (see tools.WinnowSizeProbe) as a
-    * signal the corpus needs exact dedup first.
-    *
-    * The logical plan references the fingerprint derivation several times
-    * (candidate generation + both re-attach sides). At scale this does NOT
-    * mean repeated corpus passes: the duplicated subtrees shuffle on the
-    * same keys, so AQE's exchange reuse dedups them at runtime (verified:
-    * 3 ReusedExchange nodes in the final adaptive plan under shuffle joins
-    * — tools.PlanAudit). Materializing the fingerprint table explicitly
-    * would instead cost ~corpus-sized storage. Callers iterating many
-    * thresholds over one corpus should `.persist()` the input `docs`. */
+    * signal the corpus needs exact dedup first. */
   def winnowedDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                        k: Int = 8, w: Int = 4, threshold: Double = 0.5,
                        maxDocFreq: Int = 1000): DataFrame = {
-    val fps = TextOps.winnowedFingerprints(
+    // ONE kernel pass: the per-doc fingerprint table, eagerly materialized
+    // in its COMPACT form (one row per doc, primitive-long array — ~4× fewer
+    // bytes than materializing the exploded rows). At 100 TB this is the §8
+    // "write the proxy once" trade: the fingerprint table is ~an order
+    // smaller than the text the old plan re-derived per branch, and all
+    // four consumers below (df window, candidate join, stats, verify) read
+    // it instead of re-running the kernel.
+    val fmat = TextOps.winnowedFingerprints(
       docs.select(keyCol.as("key"), textCol.as("__text")),
-      col("__text"), "fps", k, w).select("key", "fps")
-    val e = fps.select(col("key"), explode(col("fps")).as("f"))
-    val dfs = e.groupBy("f").agg(count(lit(1)).as("df"))
-    val gen = e.join(dfs.filter(col("df") <= maxDocFreq).select("f"),
-      Seq("f"), "left_semi")
+      col("__text"), "fps", k, w)
+      .select(col("key"), size(col("fps")).as("nt"), col("fps"))
+      .localCheckpoint(true)
+    val e = fmat.select(col("key"), explode(col("fps")).as("f"))
+    // document frequency as a WINDOW over f — not a groupBy + semi-join
+    // back: the old shape shuffled the corpus-sized row set twice (once
+    // into the df aggregation, once into the semi-join); the window pays
+    // ONE f-keyed exchange, and the candidate self-join + the hot counts
+    // below consume that same exchange (AQE ReusedExchange — both sides
+    // of the self-join are the identical subtree, already partitioned and
+    // sorted by f, so the join inserts no further exchange).
+    val wDf = Window.partitionBy("f")
+    val ef = e.withColumn("df", count(lit(1)).over(wDf))
+    // df >= 2 is semantics-preserving (a fingerprint held by ONE doc can
+    // never witness a pair) and is the scale lever on high-vocabulary
+    // corpora: at df≈1 it drops ~97% of the rows feeding the self-join.
+    val gen = ef.filter(col("df") >= 2 && col("df") <= maxDocFreq)
     val l = gen.select(col("f"), col("key").as("key_a"))
     val r = gen.select(col("f"), col("key").as("key_b"))
     // shared-RARE count per candidate pair, computed IN the band join with a
-    // map-side-combinable aggregation — no arrays shuffled yet
+    // map-side-combinable aggregation — no arrays shuffled, ever
     val sharedRare = l.join(r, Seq("f"))
       .filter(col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b").agg(count(lit(1)).as("shared_rare"))
-    // per-key fingerprint totals and hot (df > maxDocFreq) counts: 16-byte
-    // rows, one per doc
-    val hot = e.join(dfs.filter(col("df") > maxDocFreq).select("f"), Seq("f"), "left_semi")
+    // per-key fingerprint totals read straight off the materialized table;
+    // hot (df > maxDocFreq) counts ride the same window exchange as gen
+    val hot = ef.filter(col("df") > maxDocFreq)
       .groupBy("key").agg(count(lit(1)).as("n_hot"))
-    val stats = fps.select(col("key"), size(col("fps")).as("n_total"))
+    val stats = fmat.select(col("key"), col("nt").as("n_total"))
       .join(hot, Seq("key"), "left")
       .select(col("key"), col("n_total"), coalesce(col("n_hot"), lit(0L)).as("n_hot"))
     // PREFILTER (provable upper bound, never drops a qualifying pair):
     // shared_total <= shared_rare + min(n_hot_a, n_hot_b), so a pair can
     // only reach `overlap >= threshold` if that bound does. This is the
     // scale valve: incidental single-fingerprint collisions (gram-space
-    // birthday pairs — measured 10M of them on a 400k-doc corpus, each
-    // otherwise shipping two multi-KB arrays into the verify) die here,
+    // birthday pairs — measured 10M of them on a 400k-doc corpus) die here,
     // and verify cost becomes O(true near-dups · doc size).
     val plausible = sharedRare
       .join(stats.select(col("key").as("key_a"), col("n_total").as("nt_a"),
@@ -329,11 +349,18 @@ object Dedup {
       .filter((col("shared_rare") + least(col("nh_a"), col("nh_b"))).cast("double") >=
         lit(threshold) * least(col("nt_a"), col("nt_b")))
       .select("key_a", "key_b")
+      // tiny (surviving pairs only): materialize so the verify joins below
+      // see a broadcast-sized relation instead of re-planning the whole
+      // candidate-generation DAG under each join
+      .localCheckpoint(true)
     // exact verify from the FULL fingerprint sets (hot fingerprints still
-    // count toward the reported overlap) — unchanged semantics
+    // count toward the reported overlap) — the re-attach joins stream the
+    // MATERIALIZED table against the broadcast-sized pair list (no kernel
+    // re-run, no array shuffle), and array_intersect runs only on the
+    // surviving pairs
     plausible
-      .join(fps.select(col("key").as("key_a"), col("fps").as("fps_a")), "key_a")
-      .join(fps.select(col("key").as("key_b"), col("fps").as("fps_b")), "key_b")
+      .join(fmat.select(col("key").as("key_a"), col("fps").as("fps_a")), "key_a")
+      .join(fmat.select(col("key").as("key_b"), col("fps").as("fps_b")), "key_b")
       .select(col("key_a"), col("key_b"),
         size(array_intersect(col("fps_a"), col("fps_b"))).cast("long").as("shared"),
         (size(array_intersect(col("fps_a"), col("fps_b"))).cast("double") /

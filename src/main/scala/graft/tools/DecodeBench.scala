@@ -19,9 +19,9 @@ object DecodeBench {
     val slowOut = java.nio.file.Files.createTempDirectory("dv-slow").toString
     val fastOut = java.nio.file.Files.createTempDirectory("dv-fast").toString
     // warm
-    graft.model.OsmView.derive(docs).limit(1000).collect()
+    graft.model.OsmView.deriveHof(docs).limit(1000).collect()
     graft.model.OsmView.deriveFast(docs).limit(1000).collect()
-    val tSlow = time(graft.model.OsmView.derive(docs)
+    val tSlow = time(graft.model.OsmView.deriveHof(docs)
       .write.mode("overwrite").parquet(slowOut))
     val tFast = time(graft.model.OsmView.deriveFast(docs)
       .write.mode("overwrite").parquet(fastOut))

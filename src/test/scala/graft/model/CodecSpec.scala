@@ -58,7 +58,7 @@ class CodecSpec extends AnyFunSuite {
 
   test("single-pass deriveFast equals the HOF derivation field-for-field") {
     val docs = DeterministicGen.docsDF(spark, 0.001)
-    val slow = OsmView.derive(docs).collect()
+    val slow = OsmView.deriveHof(docs).collect()
       .map(r => r.getAs[Long]("seq") -> r).toMap
     val fast = OsmView.deriveFast(docs).collect()
     assert(fast.length === slow.size)
@@ -81,7 +81,7 @@ class CodecSpec extends AnyFunSuite {
 
   test("per-field pruned decode equals the HOF derivation field-for-field") {
     val docs = DeterministicGen.docsDF(spark, 0.001)
-    val slow = OsmView.derive(docs).collect()
+    val slow = OsmView.deriveHof(docs).collect()
       .map(r => r.getAs[Long]("seq") -> r).toMap
     val pruned = OsmView.derivePruned(docs).collect()
     assert(pruned.length === slow.size)
