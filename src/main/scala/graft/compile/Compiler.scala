@@ -207,7 +207,13 @@ object Compiler {
       requireObj(ctx, s"has-key [$k]")
       ld.hot.get(k) match {
         case Some(c) => col(c).isNotNull // pushable null-count prune
-        case None    => exists(col("tags"), t => t.getField("key") === k)
+        case None    =>
+          // codegen'd kernel, parity-pinned against
+          // exists(tags, t => t.key === k) — the HOF form is
+          // CodegenFallback and broke whole-stage codegen for the
+          // surrounding Filter (graft.exprs.TagExists scaladoc)
+          org.apache.spark.sql.GraftBridge.column(graft.exprs.TagExists(
+            org.apache.spark.sql.GraftBridge.expression(col("tags")), k))
       }
 
     // missing key ⇒ false for BOTH == and != (hpp:1390-1397). Two
@@ -278,8 +284,12 @@ object Compiler {
   private def tagValue(k: String, env: Env): Column = env.hot.get(k) match {
     case Some(c) => col(c)
     case None =>
-      get(filter(col("tags"), t => t.getField("key") === k), lit(0))
-        .getField("value")
+      // codegen'd first-match lookup, parity-pinned against
+      // get(filter(tags, t => t.key === k), 0).value — the HOF form is
+      // CodegenFallback and allocates a filtered array per row
+      // (graft.exprs.TagLookup scaladoc)
+      org.apache.spark.sql.GraftBridge.column(graft.exprs.TagLookup(
+        org.apache.spark.sql.GraftBridge.expression(col("tags")), k))
   }
 
   private def intNative(e: Expr, ctx: Ctx, ld: Env): Column = e match {

@@ -148,12 +148,19 @@ object FilterEngine {
                    idLoader: Compiler.IdListLoader = Compiler.noFiles,
                    sugar: Boolean = false): DataFrame = {
     val matched = filter(docs, expression, idLoader, sugar)
-    val selfIds = matched.select(col("type"), abs(col("id")).as("pid"))
-    val ndIds = matched
-      .where(col("type") === "way")
-      .select(explode(col("nds")).as("ref"))
-      .select(lit("node").as("type"), abs(col("ref")).as("pid"))
-    val wanted = selfIds.union(ndIds).distinct()
+    // one scan for BOTH id families (round 6): the object's own (type, |id|)
+    // and, for ways, every node-ref — previously two branches that each
+    // re-scanned and re-decoded pass 1; the concat+explode emits the same
+    // distinct set from a single pass
+    val wantedStruct = "array<struct<type:string,pid:bigint>>"
+    val wanted = matched.select(explode(concat(
+        array(struct(col("type").as("type"), abs(col("id")).as("pid"))),
+        when(col("type") === "way",
+          transform(col("nds"),
+            n => struct(lit("node").as("type"), abs(n).as("pid"))))
+          .otherwise(array().cast(wantedStruct)))).as("w"))
+      .select(col("w.type").as("type"), col("w.pid").as("pid"))
+      .distinct()
     // pass 2 is also pruned-decode: the semi-join touches only (type, id), so
     // the rescan decodes two fields per row; consumers that then select more
     // columns pay only the passes for the columns they actually read

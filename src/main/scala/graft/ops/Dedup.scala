@@ -82,9 +82,16 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                       ngram: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    // shingle + signature derivation materialized ONCE (eager
+    // localCheckpoint): the plan reads it three times (banded candidate
+    // generation + both verify re-attach sides), and each read would
+    // otherwise re-tokenize and re-hash the corpus — numHashes array
+    // traversals per doc per read (the winnowedDupPairs §8 pattern; the
+    // proxy table is ~the corpus's token size, read-shared by all branches)
     val sig = docs.select(keyCol.as("key"),
       shingles(textCol, ngram).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(true)
     // band shuffle carries (key, band, bandhash) ONLY — at 100 TB shipping
     // the shingle arrays through this self-join twice would dwarf the join
     // itself; the shingles are re-attached for the surviving candidate pairs
@@ -208,20 +215,26 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
       .distinct().localCheckpoint(true)
+    // both edge directions in one relation: each round then offers labels
+    // across edges with ONE equi-join instead of two (round 6 — halves the
+    // per-round join count; the offer multiset is identical). Lazy — a
+    // union of two projections of the already-checkpointed edge table costs
+    // nothing to re-derive, and an eager checkpoint here measurably ADDED a
+    // job per call at gate scale.
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
     var labels = edges.select(col("a").as("key"))
       .unionByName(edges.select(col("b").as("key")))
       .distinct().withColumn("cluster", col("key")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val la = edges.join(labels, edges("a") === labels("key"))
-        .select(col("b").as("key"), col("cluster"), lit(null).cast("long").as("old"))
-      val lb = edges.join(labels, edges("b") === labels("key"))
-        .select(col("a").as("key"), col("cluster"), lit(null).cast("long").as("old"))
+      val offers = dir.join(labels, dir("src") === labels("key"))
+        .select(col("dst").as("key"), col("cluster"), lit(null).cast("long").as("old"))
       // every key occurs exactly once in `labels`, so max("old") recovers
       // that round's label (the single non-null) per key
       val prop = labels.select(col("key"), col("cluster"), col("cluster").as("old"))
-        .unionByName(la).unionByName(lb)
+        .unionByName(offers)
         .groupBy("key").agg(min("cluster").as("cluster"), max("old").as("old"))
       // pointer jumping: a label is itself a vertex key, so one extra hop
       // through the label table halves the remaining chain length

@@ -192,6 +192,13 @@ object Similarity {
                    iters: Int = 2, seed: Long = 42L): Array[Array[Double]] = {
     var cents = hyperplanes(dim, nCentroids, seed).map(normalize)
     for (_ <- 0 until iters) {
+      // recenter via posexplode + per-(centroid, dim) average. A round-6
+      // experiment replaced this with `dim` avg columns in one aggregation
+      // (guide §2.3 "aggregate before you shuffle") and measured SLOWER
+      // (0.72 s → 0.84 s bench row): 64 aggregate buffers push the
+      // aggregation past the whole-stage-codegen field budget, while the
+      // exploded form's single avg stays fused and its dim× row blow-up is
+      // collapsed by map-side partial aggregation before the exchange.
       val means = corpus
         .withColumn("cid", assignCol(col("embedding"), cents))
         .select(col("cid"), posexplode(col("embedding")))
