@@ -112,6 +112,8 @@ object SpanDecode {
   private val K_LON = UTF8String.fromString("lon")
   private val TRUE = UTF8String.fromString("true")
 
+  private final val ArrayFields = FTags | FNds | FMembers | FMediaRefs
+
   def decode(spans: ArrayData, mask: Int): InternalRow = {
     val n = spans.numElements()
     var typ: UTF8String = null
@@ -126,8 +128,18 @@ object SpanDecode {
     val members = if ((mask & FMembers) != 0) new java.util.ArrayList[AnyRef]() else null
     val media = if ((mask & FMediaRefs) != 0) new java.util.ArrayList[AnyRef]() else null
 
+    // Early exit: header fields occur at most once, so once every requested
+    // SCALAR field has been seen there is nothing left to find — a mask with
+    // no array bits (the derivePruned per-field passes) stops scanning
+    // instead of walking the tag/nd/member tail. Order-independent: the exit
+    // fires only on found fields, never on an assumed layout. (On duplicate
+    // header spans this keeps the FIRST value — the HOF reference's
+    // get(filter(...), 0) semantics.)
+    val scalarOnly = (mask & ArrayFields) == 0
+    var want = mask & ~ArrayFields
+
     var i = 0
-    while (i < n) {
+    while (i < n && !(scalarOnly && want == 0)) {
       val span = spans.getStruct(i, 4)
       val kind = span.getUTF8String(0)
       val b0: Int = if (kind.numBytes() > 0) kind.getByte(0).toInt else 0
@@ -135,57 +147,88 @@ object SpanDecode {
         case 't' => // tag | type | timestamp
           if (kind.equals(K_TAG)) {
             if (tags != null) {
-              val t = span.getUTF8String(1).toString
-              val eq = t.indexOf('=')
-              val (k, v) = if (eq < 0) (t, "") else (t.substring(0, eq), t.substring(eq + 1))
-              tags.add(new GenericInternalRow(Array[Any](
-                UTF8String.fromString(k), UTF8String.fromString(v))))
+              // clone once (the input buffer may be reused), then split the
+              // byte array in place: '=' is single-byte in UTF-8, so a byte
+              // scan is exact and no String decode/encode round-trip is paid
+              val t = span.getUTF8String(1).clone()
+              val b = t.getBytes
+              val nb = b.length
+              var eq = 0
+              while (eq < nb && b(eq) != '=') eq += 1
+              if (eq >= nb)
+                tags.add(new GenericInternalRow(Array[Any](t, UTF8String.EMPTY_UTF8)))
+              else
+                tags.add(new GenericInternalRow(Array[Any](
+                  UTF8String.fromBytes(b, 0, eq),
+                  UTF8String.fromBytes(b, eq + 1, nb - eq - 1))))
             }
           } else if (kind.equals(K_TYPE)) {
-            if ((mask & FType) != 0) typ = span.getUTF8String(1).clone()
+            if ((mask & FType) != 0 && typ == null) {
+              typ = span.getUTF8String(1).clone(); want &= ~FType
+            }
           } else if (kind.equals(K_TIMESTAMP)) {
-            if ((mask & FTimestamp) != 0) ts = span.getUTF8String(1).clone()
+            if ((mask & FTimestamp) != 0 && ts == null) {
+              ts = span.getUTF8String(1).clone(); want &= ~FTimestamp
+            }
           }
         case 'n' => // nd
           if (kind.equals(K_ND) && nds != null)
-            nds.add(java.lang.Long.valueOf(span.getUTF8String(1).toString.toLong))
+            nds.add(java.lang.Long.valueOf(span.getUTF8String(1).toLongExact()))
         case 'm' => // member | media
           if (kind.equals(K_MEMBER)) {
             if (members != null) {
-              val t = span.getUTF8String(1).toString
-              val a = t.indexOf('/'); val b = t.indexOf('/', a + 1)
+              val t = span.getUTF8String(1).clone()
+              val b = t.getBytes
+              var a = 0
+              while (b(a) != '/') a += 1
+              var c = a + 1
+              while (b(c) != '/') c += 1
               members.add(new GenericInternalRow(Array[Any](
-                UTF8String.fromString(t.substring(0, a)),
-                t.substring(a + 1, b).toLong,
-                UTF8String.fromString(t.substring(b + 1)))))
+                UTF8String.fromBytes(b, 0, a),
+                UTF8String.fromBytes(b, a + 1, c - a - 1).toLongExact(),
+                UTF8String.fromBytes(b, c + 1, b.length - c - 1))))
             }
           } else if (kind.equals(K_MEDIA)) {
             // copy: the input row buffer may be reused by the upstream iterator
             if (media != null) media.add(span.getUTF8String(2).clone())
           }
         case 'i' =>
-          if (kind.equals(K_ID) && (mask & FId) != 0)
-            id = span.getUTF8String(1).toString.toLong
+          if (kind.equals(K_ID) && (mask & FId) != 0 && id == null) {
+            id = span.getUTF8String(1).toLongExact(); want &= ~FId
+          }
         case 'v' => // version | visible
           if (kind.equals(K_VERSION)) {
-            if ((mask & FVersion) != 0) version = span.getUTF8String(1).toString.toLong
+            if ((mask & FVersion) != 0 && version == null) {
+              version = span.getUTF8String(1).toLongExact(); want &= ~FVersion
+            }
           } else if (kind.equals(K_VISIBLE)) {
-            if ((mask & FVisible) != 0) visible = span.getUTF8String(1).equals(TRUE)
+            if ((mask & FVisible) != 0 && visible == null) {
+              visible = span.getUTF8String(1).equals(TRUE); want &= ~FVisible
+            }
           }
         case 'c' =>
-          if (kind.equals(K_CHANGESET) && (mask & FChangeset) != 0)
-            changeset = span.getUTF8String(1).toString.toLong
+          if (kind.equals(K_CHANGESET) && (mask & FChangeset) != 0 && changeset == null) {
+            changeset = span.getUTF8String(1).toLongExact(); want &= ~FChangeset
+          }
         case 'u' => // uid | user
           if (kind.equals(K_UID)) {
-            if ((mask & FUid) != 0) uid = span.getUTF8String(1).toString.toLong
+            if ((mask & FUid) != 0 && uid == null) {
+              uid = span.getUTF8String(1).toLongExact(); want &= ~FUid
+            }
           } else if (kind.equals(K_USER)) {
-            if ((mask & FUser) != 0) user = span.getUTF8String(1).clone()
+            if ((mask & FUser) != 0 && user == null) {
+              user = span.getUTF8String(1).clone(); want &= ~FUser
+            }
           }
         case 'l' => // lat | lon
           if (kind.equals(K_LAT)) {
-            if ((mask & FLat) != 0) lat = span.getUTF8String(1).toString.toLong / 1e7
+            if ((mask & FLat) != 0 && lat == null) {
+              lat = span.getUTF8String(1).toLongExact() / 1e7; want &= ~FLat
+            }
           } else if (kind.equals(K_LON)) {
-            if ((mask & FLon) != 0) lon = span.getUTF8String(1).toString.toLong / 1e7
+            if ((mask & FLon) != 0 && lon == null) {
+              lon = span.getUTF8String(1).toLongExact() / 1e7; want &= ~FLon
+            }
           }
         case _ => // unknown span kinds pass through untouched
       }

@@ -274,15 +274,16 @@ object Dedup {
     * (key_a, key_b, shared, overlap) with key_a < key_b.
     *
     * Scale shape (round-6 form): the winnow kernel runs EXACTLY ONCE — the
-    * exploded (key, n_total, fingerprint) rows are materialized eagerly
+    * compact (key, n_total, fingerprints) rows are materialized eagerly
     * (`localCheckpoint`) and every downstream branch (doc-frequency table,
     * candidate join, per-doc stats, exact verify) reads the materialized
-    * narrow rows. The previous plan re-derived the fingerprints on four
-    * branches; AQE exchange reuse deduplicated the f-keyed ones but the
-    * key-keyed stats/verify branches each re-ran the O(chars) kernel over
-    * the whole corpus (before/after numbers in OPTIMIZATION_r06.md).
-    * This is the guide-§8 proxy pattern: one decision
-    * pass derives the lightweight rows, and nothing re-reads the text.
+    * narrow rows. Document frequency is a sort-free hash aggregation kept
+    * at df >= 2 and broadcast BACK onto the exploded rows (guide §3.2's
+    * reduce-before-shuffle, exact instead of Bloom), so the corpus-sized
+    * exploded row set is never sorted and never shuffled — only rows in
+    * duplicated buckets reach the pair self-join's exchange. This is the
+    * guide-§8 proxy pattern: one decision pass derives the lightweight
+    * rows, and nothing re-reads the text.
     *
     * Hot-fingerprint valve: boilerplate text (license headers, templates)
     * makes HOT fingerprints whose buckets go quadratic, so fingerprints
@@ -307,33 +308,78 @@ object Dedup {
     * signal the corpus needs exact dedup first. */
   def winnowedDupPairs(docs: DataFrame, textCol: Column, keyCol: Column,
                        k: Int = 8, w: Int = 4, threshold: Double = 0.5,
-                       maxDocFreq: Int = 1000): DataFrame = {
+                       maxDocFreq: Int = 1000,
+                       maxBroadcastFps: Long = 20000000L): DataFrame = {
     // ONE kernel pass: the per-doc fingerprint table, eagerly materialized
     // in its COMPACT form (one row per doc, primitive-long array — ~4× fewer
     // bytes than materializing the exploded rows). At 100 TB this is the §8
     // "write the proxy once" trade: the fingerprint table is ~an order
     // smaller than the text the old plan re-derived per branch, and all
-    // four consumers below (df window, candidate join, stats, verify) read
-    // it instead of re-running the kernel.
+    // consumers below (df table, candidate join, stats, verify) read it
+    // instead of re-running the kernel.
     val fmat = TextOps.winnowedFingerprints(
       docs.select(keyCol.as("key"), textCol.as("__text")),
       col("__text"), "fps", k, w)
       .select(col("key"), size(col("fps")).as("nt"), col("fps"))
       .localCheckpoint(true)
     val e = fmat.select(col("key"), explode(col("fps")).as("f"))
-    // document frequency as a WINDOW over f — not a groupBy + semi-join
-    // back: the old shape shuffled the corpus-sized row set twice (once
-    // into the df aggregation, once into the semi-join); the window pays
-    // ONE f-keyed exchange, and the candidate self-join + the hot counts
-    // below consume that same exchange (AQE ReusedExchange — both sides
-    // of the self-join are the identical subtree, already partitioned and
-    // sorted by f, so the join inserts no further exchange).
-    val wDf = Window.partitionBy("f")
-    val ef = e.withColumn("df", count(lit(1)).over(wDf))
-    // df >= 2 is semantics-preserving (a fingerprint held by ONE doc can
-    // never witness a pair) and is the scale lever on high-vocabulary
-    // corpora: at df≈1 it drops ~97% of the rows feeding the self-join.
-    val gen = ef.filter(col("df") >= 2 && col("df") <= maxDocFreq)
+    // Document frequency as a hash AGGREGATION, keeping only df >= 2 — the
+    // round-6 shape. The previous window form paid a corpus-sized exchange
+    // PLUS a per-partition sort, and the window itself ran once per join
+    // side above the reused exchange; the aggregation ships the same bytes
+    // but never sorts (guide §2.3/§2.4). df >= 2 is semantics-preserving (a
+    // fingerprint held by ONE doc can never witness a pair) and on
+    // high-vocabulary corpora drops ~97% of fingerprints, so the table
+    // below is a small fraction of the corpus.
+    val dfT = fmat.select(explode(col("fps")).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .localCheckpoint(true)
+    // Rare/hot membership is applied ON THE COMPACT ARRAYS, before any
+    // explode (guide §3.2's reduce-before-shuffle, exact instead of Bloom —
+    // a false positive is impossible, and a df=1 fingerprint dropped here
+    // could never have produced a pair anyway): the df>=2 table is collected
+    // (a few percent of the corpus on high-vocabulary data), split into the
+    // rare set (2 <= df <= maxDocFreq, broadcast as a sorted array for the
+    // codegen'd LongArrayRetainSorted kernel) and the hot set
+    // (df > maxDocFreq, bounded by construction at
+    // total-occurrences/maxDocFreq). Candidate generation explodes only
+    // surviving fingerprints — the corpus-sized exploded row set is never
+    // materialized, sorted, or shuffled. Per-doc hot counts come from the
+    // same compact arrays in one projection. Guarded: above
+    // `maxBroadcastFps` df>=2 fingerprints the driver collect would be the
+    // bottleneck, so fall back to a shuffle-join attach — same rows, the
+    // honest shape at that scale.
+    val spark = docs.sparkSession
+    val (gen, stats) =
+      if (dfT.count() <= maxBroadcastFps) {
+        // primitive typed collects (no Row boxing) — two cheap jobs over the
+        // materialized df table
+        val longEnc = org.apache.spark.sql.Encoders.scalaLong
+        val rare = dfT.filter(col("df") <= maxDocFreq)
+          .select(col("f")).as(longEnc).collect()
+        java.util.Arrays.sort(rare)
+        val hotSet = dfT.filter(col("df") > maxDocFreq)
+          .select(col("f")).as(longEnc).collect().toSet
+        val bcRare = spark.sparkContext.broadcast(rare)
+        val bcHot = spark.sparkContext.broadcast(hotSet)
+        val retained = org.apache.spark.sql.GraftBridge.column(
+          graft.exprs.LongArrayRetainSorted(
+            org.apache.spark.sql.GraftBridge.expression(col("fps")), bcRare))
+        val nHotUdf = udf((fps: Seq[Long]) => fps.count(bcHot.value.contains).toLong)
+        (fmat.select(col("key"), explode(retained).as("f")),
+          fmat.select(col("key"), col("nt").as("n_total"),
+            nHotUdf(col("fps")).as("n_hot")))
+      } else {
+        val ef = e.join(dfT, Seq("f"))
+        val hot = ef.filter(col("df") > maxDocFreq)
+          .groupBy("key").agg(count(lit(1)).as("n_hot"))
+        (ef.filter(col("df") <= maxDocFreq).select(col("key"), col("f")),
+          fmat.select(col("key"), col("nt").as("n_total"))
+            .join(hot, Seq("key"), "left")
+            .select(col("key"), col("n_total"),
+              coalesce(col("n_hot"), lit(0L)).as("n_hot")))
+      }
     val l = gen.select(col("f"), col("key").as("key_a"))
     val r = gen.select(col("f"), col("key").as("key_b"))
     // shared-RARE count per candidate pair, computed IN the band join with a
@@ -341,13 +387,6 @@ object Dedup {
     val sharedRare = l.join(r, Seq("f"))
       .filter(col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b").agg(count(lit(1)).as("shared_rare"))
-    // per-key fingerprint totals read straight off the materialized table;
-    // hot (df > maxDocFreq) counts ride the same window exchange as gen
-    val hot = ef.filter(col("df") > maxDocFreq)
-      .groupBy("key").agg(count(lit(1)).as("n_hot"))
-    val stats = fmat.select(col("key"), col("nt").as("n_total"))
-      .join(hot, Seq("key"), "left")
-      .select(col("key"), col("n_total"), coalesce(col("n_hot"), lit(0L)).as("n_hot"))
     // PREFILTER (provable upper bound, never drops a qualifying pair):
     // shared_total <= shared_rare + min(n_hot_a, n_hot_b), so a pair can
     // only reach `overlap >= threshold` if that bound does. This is the

@@ -54,6 +54,8 @@ object BenchExtra {
     suite match {
       case "spans"  => spans(spark)
       case "winnow" => winnow(spark, if (args.length > 1) args(1).toLong else 200000L)
+      case "winnowdf" => winnowDf(spark, if (args.length > 1) args(1).toLong else 200000L)
+      case "winnowab" => winnowAb(spark, if (args.length > 1) args(1).toLong else 200000L)
       case other    => sys.error(s"unknown suite '$other'")
     }
     spark.stop()
@@ -76,6 +78,75 @@ object BenchExtra {
       tFast += median3(fast.filter(pred).count())
     }
     println(f"""{"spans_hof_sec":$tHof%.3f,"spans_derive_sec":$tFast%.3f}""")
+  }
+
+  /** A/B the full winnow operator: broadcast-retain candidate path (default
+    * guard) vs the shuffle-join fallback (guard forced to 0), interleaved in
+    * one JVM with a GC nudge between trials so checkpoint blocks from prior
+    * trials are released. */
+  private def winnowAb(spark: SparkSession, n: Long): Unit = {
+    val parts = 64
+    val p = s"/root/repo/target/bench/hvdocs_dist_n${n}_vinf_p$parts"
+    val d = spark.read.parquet(p).cache()
+    d.count()
+    def run(guard: Long): Double = {
+      System.gc(); Thread.sleep(500)
+      time(Dedup.winnowedDupPairs(d, col("text"), col("doc_id"),
+        k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000,
+        maxBroadcastFps = guard).count())
+    }
+    run(20000000L); run(0L) // warm both
+    val a1 = run(20000000L); val b1 = run(0L)
+    val a2 = run(20000000L); val b2 = run(0L)
+    val a3 = run(20000000L); val b3 = run(0L)
+    println(f"""{"n":$n,"retain_sec":[$a1%.3f,$a2%.3f,$a3%.3f],"joinpath_sec":[$b1%.3f,$b2%.3f,$b3%.3f]}""")
+  }
+
+  /** A/B the df>=2 table build: hash aggregation vs radix sort + linear
+    * duplicate scan, interleaved in one JVM. */
+  private def winnowDf(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val parts = 64
+    val p = s"/root/repo/target/bench/hvdocs_dist_n${n}_vinf_p$parts"
+    val d = spark.read.parquet(p).cache()
+    d.count()
+    val fmat = graft.ops.TextOps.winnowedFingerprints(
+      d.select(col("doc_id").as("key"), col("text").as("__text")),
+      col("__text"), "fps", 8, 4)
+      .select(col("key"), size(col("fps")).as("nt"), col("fps"))
+      .localCheckpoint(true)
+    val fs = fmat.select(explode(col("fps")).as("f"))
+    val total = fs.count()
+    def hashAgg() = fs.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    def sortScan() = fs.as[Long].repartition(col("f")).sortWithinPartitions("f")
+      .mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private var hasHead = false
+          private var head = 0L
+          private def fill(): Unit =
+            if (!hasHead && it.hasNext) { head = it.next(); hasHead = true }
+          def hasNext: Boolean = { fill(); hasHead }
+          def next(): (Long, Long) = {
+            fill(); val v = head; hasHead = false
+            var c = 1L
+            var run = true
+            while (run) {
+              fill()
+              if (hasHead && head == v) { c += 1; hasHead = false } else run = false
+            }
+            (v, c)
+          }
+        }
+      }.toDF("f", "df").filter(col("df") >= 2)
+    val nHash = hashAgg().count(); val nSort = sortScan().count() // warm + parity
+    println(s"total=$total distinct-df2 hash=$nHash sort=$nSort")
+    def m3(f: => Unit): Double = { Seq(time(f), time(f), time(f)).sorted.apply(1) }
+    val tH = m3(noop(hashAgg()))
+    val tS = m3(noop(sortScan()))
+    val tH2 = m3(noop(hashAgg()))
+    val tS2 = m3(noop(sortScan()))
+    println(f"""{"n":$n,"df_hashagg_sec":[$tH%.3f,$tH2%.3f],"df_sortscan_sec":[$tS%.3f,$tS2%.3f]}""")
   }
 
   /** Stage-isolated winnow timings on the unbounded-vocab fixture the bench
@@ -102,7 +173,8 @@ object BenchExtra {
         k = 8, w = 4, threshold = 0.8, maxDocFreq = 1000).count())
 
     // cumulative stage ladder (each includes its predecessors): checkpoint,
-    // + df table, + candidate gen, + sharedRare — mirrors the operator body
+    // + df>=2 hash-agg table, + broadcast attach + gen, + sharedRare —
+    // mirrors the round-6 operator body
     def ladder(stage: String): Double = {
       def run(): Long = {
         val fmat = graft.ops.TextOps.winnowedFingerprints(
@@ -111,28 +183,49 @@ object BenchExtra {
           .select(col("key"), size(col("fps")).as("nt"), col("fps"))
           .localCheckpoint(true)
         if (stage == "ckpt") return fmat.rdd.getNumPartitions.toLong
+        val dfT = fmat.select(explode(col("fps")).as("f"))
+          .groupBy("f").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .localCheckpoint(true)
+        if (stage == "dft") return dfT.rdd.getNumPartitions.toLong
         val e = fmat.select(col("key"), explode(col("fps")).as("f"))
-        val wDf = org.apache.spark.sql.expressions.Window.partitionBy("f")
-        val ef = e.withColumn("df", count(lit(1)).over(wDf))
-        if (stage == "dfs") { noop(ef.select(col("f"), col("df"))); return 0L }
-        val gen = ef.filter(col("df") >= 2 && col("df") <= 1000)
+        val ef = e.join(broadcast(dfT), Seq("f"))
+        val gen = ef.filter(col("df") <= 1000)
         if (stage == "gen") { noop(gen); return 0L }
         val l = gen.select(col("f"), col("key").as("key_a"))
         val r = gen.select(col("f"), col("key").as("key_b"))
         val sharedRare = l.join(r, Seq("f"))
           .filter(col("key_a") < col("key_b"))
           .groupBy("key_a", "key_b").agg(count(lit(1)).as("shared_rare"))
-        noop(sharedRare); 0L
+        if (stage == "shared") { noop(sharedRare); return 0L }
+        val hotFsDF = dfT.filter(col("df") > 1000).select(col("f"))
+        val hotSet = hotFsDF.collect().map(_.getLong(0)).toSet
+        val bcHot = spark.sparkContext.broadcast(hotSet)
+        val nHotUdf = udf((fps: Seq[Long]) => fps.count(bcHot.value.contains).toLong)
+        val stats = fmat.select(col("key"), col("nt").as("n_total"),
+          nHotUdf(col("fps")).as("n_hot"))
+        val plausible = sharedRare
+          .join(stats.select(col("key").as("key_a"), col("n_total").as("nt_a"),
+            col("n_hot").as("nh_a")), "key_a")
+          .join(stats.select(col("key").as("key_b"), col("n_total").as("nt_b"),
+            col("n_hot").as("nh_b")), "key_b")
+          .filter((col("shared_rare") + least(col("nh_a"), col("nh_b"))).cast("double") >=
+            lit(0.8) * least(col("nt_a"), col("nt_b")))
+          .select("key_a", "key_b")
+          .localCheckpoint(true)
+        if (stage == "plaus") return plausible.rdd.getNumPartitions.toLong
+        0L
       }
       spark.sparkContext.setJobDescription(s"winnow ladder: $stage")
       run() // warm
       Seq(time(run()), time(run())).min
     }
     val tCkpt = ladder("ckpt")
-    val tDfs = ladder("dfs")
+    val tDft = ladder("dft")
     val tGen = ladder("gen")
     val tShared = ladder("shared")
+    val tPlaus = ladder("plaus")
     d.unpersist()
-    println(f"""{"n":$n,"winnow_kernel_noop_sec":$tKernel%.3f,"winnow_ckpt_sec":$tCkpt%.3f,"winnow_dfs_sec":$tDfs%.3f,"winnow_gen_sec":$tGen%.3f,"winnow_shared_sec":$tShared%.3f,"winnow_full_sec":$tFull%.3f}""")
+    println(f"""{"n":$n,"winnow_kernel_noop_sec":$tKernel%.3f,"winnow_ckpt_sec":$tCkpt%.3f,"winnow_dft_sec":$tDft%.3f,"winnow_gen_sec":$tGen%.3f,"winnow_shared_sec":$tShared%.3f,"winnow_plaus_sec":$tPlaus%.3f,"winnow_full_sec":$tFull%.3f}""")
   }
 }
