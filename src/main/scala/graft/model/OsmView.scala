@@ -68,6 +68,14 @@ object OsmView {
     * filter path ([[graft.engine.FilterEngine.filter]]); materialization
     * wants [[deriveFast]]. */
   def derivePruned(docs: DataFrame): DataFrame = {
+    // fuse tag predicates over this view's decoded tags into direct span
+    // scans (graft.exprs.SpanPredicateFuse scaladoc) — idempotent, and only
+    // plans whose tags provably come from DecodeOsmSpans are rewritten
+    val exp = docs.sparkSession.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(graft.exprs.SpanPredicateFuse))
+        exp.extraOptimizations = exp.extraOptimizations :+ graft.exprs.SpanPredicateFuse
+    }
     val hasType = docs.columns.contains("type")
     val hasSeq = docs.columns.contains("seq")
     def dec(bit: Int): Column = org.apache.spark.sql.GraftBridge.column(

@@ -142,22 +142,20 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash as a distributed aggregation: explode tokens → xxhash64 →
-    * hash-aggregate 64 per-bit vote sums → recombine bits. Equivalent to
-    * [[simhash]] but stays in whole-stage codegen (the HOF `aggregate`
-    * version is CodegenFallback and ~20× slower per row); the groupBy is a
-    * map-side-combined shuffle on the doc key, which is the scalable shape.
-    * Returns (key, sim). */
+  /** SimHash per document — ONE codegen'd projection pass
+    * ([[graft.exprs.SimhashExpr]]). A document's simhash depends only on
+    * its own tokens, so the round-5 shape — explode tokens, xxhash64,
+    * hash-aggregate 64 per-bit vote sums, recombine — paid a corpus-wide
+    * exchange plus 64 aggregation buffers per key for what is a pure
+    * per-row function; the kernel computes the same bits in a single text
+    * scan with no shuffle at all (guide §1.2 step 1: remove the pass, not
+    * tune it). Equivalence with the HOF [[simhash]] form is spec-pinned;
+    * null text coalesces to 0L exactly as the aggregation's empty-group
+    * chain did. Returns (key, sim). */
   def simhashDF(docs: DataFrame, textCol: Column, keyCol: Column): DataFrame = {
-    val tokens = filter(split(lower(trim(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val exploded = docs.select(keyCol.as("key"), explode_outer(tokens).as("tok"))
-      .select(col("key"), xxhash64(col("tok")).as("h"), col("tok").isNotNull.as("has"))
-    val sums = (0 until 64).map(b => sum(when(col("has"),
-      when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))).as(s"s$b"))
-    val agg = exploded.groupBy("key").agg(sums.head, sums.tail: _*)
-    val bits = (0 until 64).map(b =>
-      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-    agg.select(col("key"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+    val sim = org.apache.spark.sql.GraftBridge.column(graft.exprs.SimhashExpr(
+      org.apache.spark.sql.GraftBridge.expression(textCol)))
+    docs.select(keyCol.as("key"), coalesce(sim, lit(0L)).as("sim"))
   }
 
   /** SimHash near-dup pairs: split the 64-bit simhash into `bands`
@@ -212,9 +210,62 @@ object Dedup {
     * on the edge-offer branches), and change detection is an `observe()`
     * metric collected by the round's eager localCheckpoint job — no separate
     * join + count pass. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+                  maxDriverEdges: Long = 10000000L): DataFrame = {
     val edges = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
       .distinct().localCheckpoint(true)
+    // Size-adaptive (round 6, the AQE-broadcast analogy): a dedup's pair
+    // set is usually orders of magnitude smaller than its corpus — when the
+    // DISTINCT edge set fits comfortably on the driver (same budget class
+    // as a broadcast join's build side), a driver-side union-find resolves
+    // components in one collect instead of O(log diameter) rounds of two
+    // shuffles each; the iterative loop below remains the path for edge
+    // sets above the guard. Output is identical by construction: cluster =
+    // the component's minimum key under Spark's own ordering (UTF8 binary
+    // for strings — NOT String.compareTo, which disagrees on supplementary
+    // code points).
+    val keyField = edges.schema("a")
+    val nullableKey = keyField.nullable || edges.schema("b").nullable
+    val driverOrd: Option[Ordering[Any]] = keyField.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.fromLessThan[Any]((x, y) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(
+              y.asInstanceOf[String])) < 0))
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        Some(Ordering.by[Any, Long](_.asInstanceOf[Number].longValue()))
+      case _ => None // exotic key type: keep the distributed path
+    }
+    if (driverOrd.isDefined && edges.count() <= maxDriverEdges) {
+      implicit val ord: Ordering[Any] = driverOrd.get
+      val es = edges.collect().map(r => (r.get(0), r.get(1)))
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        while ({ val p = parent.getOrDefault(x, x); p != x && { x = p; true } }) ()
+        var y = x0 // path compression
+        while ({ val p = parent.getOrDefault(y, y); p != y && { parent.put(y, x); y = p; true } }) ()
+        x
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val rows = verts.iterator
+        .map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", keyField.dataType, nullableKey),
+        org.apache.spark.sql.types.StructField("cluster", keyField.dataType, nullableKey)))
+      return pairs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
     // both edge directions in one relation: each round then offers labels
     // across edges with ONE equi-join instead of two (round 6 — halves the
     // per-round join count; the offer multiset is identical). Lazy — a
@@ -407,11 +458,19 @@ object Dedup {
       .localCheckpoint(true)
     // exact verify from the FULL fingerprint sets (hot fingerprints still
     // count toward the reported overlap) — the re-attach joins stream the
-    // MATERIALIZED table against the broadcast-sized pair list (no kernel
-    // re-run, no array shuffle), and array_intersect runs only on the
-    // surviving pairs
-    plausible
+    // MATERIALIZED table against the pair list, and array_intersect runs
+    // only on the surviving pairs. The pair list is an ExistingRDD scan
+    // after the checkpoint, so the planner has no size estimate for it and
+    // would sort-merge-join — shuffling AND sorting the corpus-sized
+    // fingerprint table twice; an explicit broadcast hint (guarded by the
+    // materialized count, second join carries the attached fps_a arrays so
+    // the cap is conservative) keeps fmat unshuffled: two streamed
+    // broadcast-hash joins.
+    val broadcastPairs = plausible.count() <= 100000L
+    def hinted(df: DataFrame): DataFrame = if (broadcastPairs) broadcast(df) else df
+    hinted(plausible)
       .join(fmat.select(col("key").as("key_a"), col("fps").as("fps_a")), "key_a")
+      .transform(hinted)
       .join(fmat.select(col("key").as("key_b"), col("fps").as("fps_b")), "key_b")
       .select(col("key_a"), col("key_b"),
         size(array_intersect(col("fps_a"), col("fps_b"))).cast("long").as("shared"),

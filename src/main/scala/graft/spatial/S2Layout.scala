@@ -96,8 +96,15 @@ object S2Layout {
         // the coarse level (pure child expansion keeps the superset) and
         // let pruneScan's size cap skip directory pruning if it ballooned
         var (pCover, pl) = S2Cell.coverCap(lat, lon, radiusMeters, coarse)
-        while (pl < coarse) { pCover = pCover.flatMap(S2Cell.children); pl += 1 }
-        SpatialLayout.pruneScan(layout, SortCol, PartCol, ranges, pCover,
+        // bail out of the 4^levels expansion as soon as the cover exceeds
+        // pruneScan's cap: it would only discard the list anyway, and a
+        // large-radius cap over a deep coarse level otherwise materializes
+        // millions of cells on the driver before that happens
+        while (pl < coarse && pCover.size <= maxPartitionList) {
+          pCover = pCover.flatMap(S2Cell.children); pl += 1
+        }
+        val cover = if (pl < coarse) Seq.empty[Long] else pCover // over cap: skip dir pruning
+        SpatialLayout.pruneScan(layout, SortCol, PartCol, ranges, cover,
           maxPartitionList).filter(exact)
     }
   }

@@ -319,6 +319,52 @@ object SpatialOps {
       (lonEdge - qlon) * (lonEdge - qlon)
   }
 
+  /** Candidate rows the first knn ring pass scans (diagnostics — shares the
+    * cover construction with [[knn]]). */
+  def knnCandidateCount(points: DataFrame, queries: DataFrame,
+                        level: Int, maxRing: Int): Long = {
+    val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
+    val qs = queries.select(col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
+    val qCells = qs.withColumn("cell",
+      explode(ringCellsUdf(level, maxRing)(col("qlat"), col("qlon"))))
+    pCells.join(broadcast(qCells), Seq("cell")).count()
+  }
+
+  /** Diagnostics: how many queries the given ring cannot certify (mirrors
+    * one [[knn]] attempt's certification decision). */
+  def knnUnsatAfterRing(points: DataFrame, queries: DataFrame, k: Int,
+                        level: Int, ring: Int,
+                        metric: SpatialMetric = HaversineMetric,
+                        tieBreak: String = "doc_id"): Long = {
+    val pCells = points.withColumn("cell", cellId(col("lat"), col("lon"), level))
+    val qs = queries.select(col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
+    val qCells = qs.withColumn("cell",
+      explode(ringCellsUdf(level, ring)(col("qlat"), col("qlon"))))
+    val candidates = pCells.join(broadcast(qCells), Seq("cell")).drop("cell")
+      .withColumn("dist_m", metric.dist(col("qlat"), col("qlon"), col("lat"), col("lon")))
+    val wLocal = Window
+      .partitionBy(col("query_id"), pmod(hash(col(tieBreak)), lit(64)))
+      .orderBy(col("dist_m"), col(tieBreak))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_m"), col(tieBreak))
+    val topk = candidates.withColumn("rn", row_number().over(wLocal))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumn("rn", row_number().over(wGlobal)).filter(col("rn") <= k)
+    val edges = coverEdgesUdf(level, ring)(col("qlat"), col("qlon"))
+    val dBound = least(
+      metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_1")),
+      metric.toParallel(col("qlat"), col("qlon"), col("edges").getField("_2")),
+      metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_3")),
+      metric.toMeridian(col("qlat"), col("qlon"), col("edges").getField("_4")))
+    val stats = topk.groupBy("query_id")
+      .agg(count(lit(1)).as("cnt"), max(col("dist_m")).as("kth"))
+    qs.withColumn("edges", edges)
+      .join(stats, Seq("query_id"), "left")
+      .filter(col("cnt").isNull || col("cnt") < k ||
+        (dBound.isNotNull && col("kth") > dBound))
+      .count()
+  }
+
   /** k nearest points for each query row (query_id, lat, lon): ring-expanded
     * candidate cells (broadcast query side) + exact re-rank with a per-query
     * window top-k. EXACTNESS GUARANTEE: a query's ring result is kept only
@@ -398,6 +444,9 @@ object SpatialOps {
 
     var remaining = queries.select(
       col("query_id"), col("lat").as("qlat"), col("lon").as("qlon"))
+    // (A ring-0 pre-pass to certify dense queries cheaply was measured and
+    // rejected: it certified 27/99 bench queries but added a full pass for
+    // the rest — 4.2 s vs 3.1 s against the ×4 ladder alone.)
     var ring = maxRing
     val pieces = Seq.newBuilder[DataFrame]
     var step = 0
@@ -412,7 +461,14 @@ object SpatialOps {
         pieces += topk.join(broadcast(unsat.select("query_id")),
           Seq("query_id"), "left_anti")
         remaining = unsat
-        ring = math.max(ring * 2, ring + 1)
+        // ×4 widening (round 6): a query the certification rejected at ring
+        // r usually sits in a region an order of magnitude sparser than the
+        // certified ones — ×2 widening re-ran the full join+rank ladder for
+        // a slowly-shrinking straggler set (measured 43 → 22 → 0 unsat over
+        // three passes at the bench shape; ×4 reaches the same coverage in
+        // two). Each pass is a full candidate join, so fewer, wider passes
+        // win; the exact brute fallback still bounds the worst case.
+        ring = math.max(ring * 4, ring + 1)
         step += 1
       }
     }
@@ -443,13 +499,20 @@ object SpatialOps {
                    rowKey: Column): DataFrame =
     df.repartition(cellCol, pmod(hash(rowKey), lit(saltBuckets)))
 
-  /** Per-cell density with salting: two-phase aggregation that survives
-    * heavily skewed hotspots (partial counts per (cell, salt), then final
-    * sum per cell — the map-side-combine shape). */
+  /** Per-cell density. One hash aggregation: Spark's built-in PARTIAL
+    * (map-side) aggregation is already the two-phase skew defense for an
+    * algebraic aggregate like count — each task emits one row per distinct
+    * cell it saw, so a hotspot cell contributes at most `numPartitions`
+    * rows to the exchange regardless of its point count. The explicit
+    * (cell, salt) pre-aggregation this replaces added a full second
+    * exchange for a property the partial already guarantees (guide §2.3
+    * "aggregate before you shuffle"; round-6 measurement in
+    * OPTIMIZATION_r06.md). Manual salting ([[saltedByCell]]) remains the
+    * tool for NON-algebraic per-cell work (collect_list-style state),
+    * where map-side combining cannot cap the hot key. `saltBuckets` is
+    * kept for source compatibility and ignored. */
   def cellDensity(points: DataFrame, level: Int, saltBuckets: Int = 16): DataFrame =
     points
       .withColumn("cell", cellId(col("lat"), col("lon"), level))
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
-      .groupBy("cell", "salt").agg(count(lit(1)).as("partial"))
-      .groupBy("cell").agg(sum("partial").as("n"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
 }

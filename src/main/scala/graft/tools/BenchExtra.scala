@@ -56,6 +56,9 @@ object BenchExtra {
       case "winnow" => winnow(spark, if (args.length > 1) args(1).toLong else 200000L)
       case "winnowdf" => winnowDf(spark, if (args.length > 1) args(1).toLong else 200000L)
       case "winnowab" => winnowAb(spark, if (args.length > 1) args(1).toLong else 200000L)
+      case "spansq" => spansPerQuery(spark)
+      case "coldq" => coldPerQuery(spark)
+      case "knnq" => knnProbe(spark)
       case other    => sys.error(s"unknown suite '$other'")
     }
     spark.stop()
@@ -78,6 +81,65 @@ object BenchExtra {
       tFast += median3(fast.filter(pred).count())
     }
     println(f"""{"spans_hof_sec":$tHof%.3f,"spans_derive_sec":$tFast%.3f}""")
+  }
+
+  /** Per-query times over the pruned span-decode view (the spans_decode /
+    * spans_fast bench rows), to attribute cost to decode-pass counts. */
+  private def spansPerQuery(spark: SparkSession): Unit = {
+    val docs = spark.read.parquet("/root/repo/target/bench/docs_n600000")
+    val fast = graft.model.OsmView.derive(docs)
+    graft.Bench.filterSuite.zipWithIndex.foreach { case (src, i) =>
+      val pred = Compiler.compileEffective(Parser.parse(src))
+      spark.sparkContext.setJobDescription(s"spansq $i: $src")
+      val t = median3(fast.filter(pred).count())
+      println(f"spansq_$i%-2d $t%7.3f  $src")
+    }
+  }
+
+  /** Per-query times over the materialized typed view with hot columns
+    * ignored (the typed_cold bench row). */
+  private def coldPerQuery(spark: SparkSession): Unit = {
+    val view = spark.read.parquet("/root/repo/target/bench/docs_n600000_view_h2")
+    graft.Bench.filterSuite.zipWithIndex.foreach { case (src, i) =>
+      val pred = Compiler.compileEffective(Parser.parse(src))
+      spark.sparkContext.setJobDescription(s"coldq $i: $src")
+      val t = median3(view.filter(pred).count())
+      println(f"coldq_$i%-2d $t%7.3f  $src")
+    }
+  }
+
+  /** knn stage probe: candidate volume and full-operator time at the bench
+    * parameterization. */
+  private def knnProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val typedView = spark.read.parquet("/root/repo/target/bench/docs_n600000_view_h2")
+    val nodes = typedView.filter(col("type") === "node")
+      .select(col("doc_id"), col("lat"), col("lon")).cache()
+    val nNodes = nodes.count()
+    val queries = DeterministicGen.hotspots.zipWithIndex.flatMap { case ((la, lo), i) =>
+      (0 until 33).map(j => ((i * 33 + j).toLong, la + j * 0.003, lo + j * 0.002))
+    }.toDF("query_id", "lat", "lon")
+    val nCand = graft.spatial.SpatialOps.knnCandidateCount(
+      nodes, queries, level = 14, maxRing = 2)
+    val nCand0 = graft.spatial.SpatialOps.knnCandidateCount(
+      nodes, queries, level = 14, maxRing = 0)
+    val nCand1 = graft.spatial.SpatialOps.knnCandidateCount(
+      nodes, queries, level = 14, maxRing = 1)
+    val unsat0 = graft.spatial.SpatialOps.knnUnsatAfterRing(
+      nodes, queries, k = 10, level = 14, ring = 0)
+    val unsat1 = graft.spatial.SpatialOps.knnUnsatAfterRing(
+      nodes, queries, k = 10, level = 14, ring = 1)
+    val unsat2 = graft.spatial.SpatialOps.knnUnsatAfterRing(
+      nodes, queries, k = 10, level = 14, ring = 2)
+    val unsat4 = graft.spatial.SpatialOps.knnUnsatAfterRing(
+      nodes, queries, k = 10, level = 14, ring = 4)
+    val unsat8 = graft.spatial.SpatialOps.knnUnsatAfterRing(
+      nodes, queries, k = 10, level = 14, ring = 8)
+    println(s"nodes=$nNodes queries=${queries.count()} candidates(r2)=$nCand " +
+      s"candidates(r1)=$nCand1 candidates(r0)=$nCand0 unsat(r0)=$unsat0 unsat(r1)=$unsat1 unsat(r2)=$unsat2 unsat(r4)=$unsat4 unsat(r8)=$unsat8")
+    val tFull = median3(graft.spatial.SpatialOps.knn(
+      nodes, queries, k = 10, level = 14, maxRing = 2).count())
+    println(f"""{"knn_full_sec":$tFull%.3f,"knn_candidates":$nCand}""")
   }
 
   /** A/B the full winnow operator: broadcast-retain candidate path (default

@@ -75,9 +75,70 @@ object PlanDump {
         Similarity.ivfTopK(emb, q, 10, dim = 64, nCentroids = 16, nProbe = 4)
       }))
 
+    // count-shaped variant of the spans row: the bench times `.count()`, so
+    // the plan the suite actually executes has every unused decode pass
+    // pruned and the tag predicate fused — the plain filter plan above
+    // carries all 13 projected decode columns because nothing prunes them
+    val extra: Seq[(String, () => DataFrame)] = Seq(
+      "filter_suite_spans_decode_count" -> (() =>
+        graft.model.OsmView.derive(docs).filter(
+          Compiler.compileEffective(Parser.parse(graft.Bench.filterSuite.head)))
+          .groupBy().count()),
+      // winnowedDupPairs executes its candidate generation under eager
+      // localCheckpoints, so the operator's RETURNED plan is truncated to
+      // the verify tail; these two stage plans are built exactly like the
+      // operator body builds them (df>=2 hash-agg table; retain + explode +
+      // pair self-join + shared_rare aggregation)
+      "dedup_winnowed_vinf_200k_dfbuild" -> (() => {
+        val d = hv(200000L)
+        graft.ops.TextOps.winnowedFingerprints(
+          d.select(col("doc_id").as("key"), col("text").as("__text")),
+          col("__text"), "fps", 8, 4)
+          .select(explode(col("fps")).as("f"))
+          .groupBy("f").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+      }),
+      // the round-5 candidate shape (df as a WINDOW over the corpus-sized
+      // exploded rows, self-join over the window output), reconstructed so
+      // the before/after stage plans are both on disk — the operator's
+      // eager checkpoints hide this stage from the end-to-end plan
+      "dedup_winnowed_vinf_200k_candidates_r5window" -> (() => {
+        val d = hv(200000L)
+        val fmat = graft.ops.TextOps.winnowedFingerprints(
+          d.select(col("doc_id").as("key"), col("text").as("__text")),
+          col("__text"), "fps", 8, 4)
+          .select(col("key"), size(col("fps")).as("nt"), col("fps"))
+        val e = fmat.select(col("key"), explode(col("fps")).as("f"))
+        val wDf = org.apache.spark.sql.expressions.Window.partitionBy("f")
+        val ef = e.withColumn("df", count(lit(1)).over(wDf))
+        val gen = ef.filter(col("df") >= 2 && col("df") <= 1000)
+        val l = gen.select(col("f"), col("key").as("key_a"))
+        val r = gen.select(col("f"), col("key").as("key_b"))
+        l.join(r, Seq("f"))
+          .filter(col("key_a") < col("key_b"))
+          .groupBy("key_a", "key_b").agg(count(lit(1)).as("shared_rare"))
+      }),
+      "dedup_winnowed_vinf_200k_candidates" -> (() => {
+        val d = hv(200000L)
+        val fmat = graft.ops.TextOps.winnowedFingerprints(
+          d.select(col("doc_id").as("key"), col("text").as("__text")),
+          col("__text"), "fps", 8, 4)
+          .select(col("key"), size(col("fps")).as("nt"), col("fps"))
+        val bcRare = spark.sparkContext.broadcast(Array(1L, 2L, 3L))
+        val retained = org.apache.spark.sql.GraftBridge.column(
+          graft.exprs.LongArrayRetainSorted(
+            org.apache.spark.sql.GraftBridge.expression(col("fps")), bcRare))
+        val gen = fmat.select(col("key"), explode(retained).as("f"))
+        val l = gen.select(col("f"), col("key").as("key_a"))
+        val r = gen.select(col("f"), col("key").as("key_b"))
+        l.join(r, Seq("f"))
+          .filter(col("key_a") < col("key_b"))
+          .groupBy("key_a", "key_b").agg(count(lit(1)).as("shared_rare"))
+      }))
+
     val outDir = java.nio.file.Paths.get("/root/repo/plans/r06")
     java.nio.file.Files.createDirectories(outDir)
-    queries.foreach { case (name, build) =>
+    (queries ++ extra).foreach { case (name, build) =>
       if (only.isEmpty || only(name)) {
         val df = build()
         val plan = df.queryExecution.explainString(

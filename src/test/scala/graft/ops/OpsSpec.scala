@@ -335,6 +335,11 @@ class OpsSpec extends AnyFunSuite {
     val pairs = edges.toDF("key_a", "key_b")
     val clusters = Dedup.dupClusters(pairs)
     val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both paths must agree: the guarded driver union-find (default at this
+    // size) and the distributed label-propagation loop (guard forced to 0)
+    val gotDistributed = Dedup.dupClusters(pairs, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === gotDistributed)
     // driver-side union-find ground truth (attach larger root under smaller,
     // so every root is its component's minimum key)
     val parent = scala.collection.mutable.Map[Long, Long]()
