@@ -64,6 +64,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 object WinnowKernel {
 
   private val WS = java.util.regex.Pattern.compile("\\s+")
+  private final val OFF = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
 
   /** `lower(regexp_replace(trim(text), "\\s+", " "))` via the same primitives
     * the Column pipeline executes. */
@@ -73,7 +74,57 @@ object WinnowKernel {
     UTF8String.fromString(collapsed).toLowerCase
   }
 
+  /** ASCII fast path for [[normalize]]: trim ' ' (what UTF8String.trim
+    * trims), collapse `\s` runs ([ \t\n\x0B\f\r] — the Java regex class is
+    * ASCII-only) to one ' ', lowercase A-Z — one byte pass, zero String
+    * materializations, and byte positions ARE code points so the winnower
+    * skips offset bookkeeping too. Returns null when any non-ASCII byte is
+    * seen (caller falls back to [[normalize]]); equivalence on ASCII input
+    * is exact: Unicode lowercasing and `\s` agree with the byte forms
+    * there. */
+  private def normalizeAscii(text: UTF8String): (Array[Byte], Int) = {
+    val nb = text.numBytes()
+    var s = 0
+    while (s < nb && text.getByte(s) == ' ') s += 1
+    var e = nb
+    while (e > s && text.getByte(e - 1) == ' ') e -= 1
+    val out = new Array[Byte](e - s)
+    var m = 0
+    var i = s
+    var inWs = false
+    while (i < e) {
+      val b = text.getByte(i)
+      if ((b & 0x80) != 0) return null // non-ASCII: caller uses the slow path
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      if (ws) {
+        if (!inWs) { out(m) = ' '; m += 1; inWs = true }
+      } else {
+        out(m) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        m += 1
+        inWs = false
+      }
+      i += 1
+    }
+    (out, m)
+  }
+
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val fast = normalizeAscii(text)
+    if (fast != null) {
+      val (buf, n) = fast
+      if (n < k)
+        return UnsafeArrayData.fromPrimitiveArray(
+          Array(XXH64.hashUnsafeBytes(buf, OFF, n, 42L)))
+      val m = n - k + 1
+      val grams = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        grams(i) = XXH64.hashUnsafeBytes(buf, OFF + i, k, 42L)
+        i += 1
+      }
+      return winnowGrams(grams, w)
+    }
+
     val norm = normalize(text)
     val base = norm.getBaseObject
     val off = norm.getBaseOffset
@@ -104,13 +155,19 @@ object WinnowKernel {
         base, off + offsets(i), gramEnd(i) - offsets(i), 42L)
       i += 1
     }
+    winnowGrams(grams, w)
+  }
 
-    // sliding minimum over windows of w grams (single window of all m when
-    // m < w), distinct preserving first-occurrence order
+  /** Sliding minimum over windows of w grams (single window of all m when
+    * m < w), distinct preserving first-occurrence order — shared by the
+    * ASCII and Unicode paths. */
+  private def winnowGrams(grams: Array[Long], w: Int): ArrayData = {
+    val m = grams.length
     val out = new Array[Long](math.max(m - w + 1, 1))
     var outN = 0
     val seen = new java.util.HashSet[java.lang.Long]()
     def emit(v: Long): Unit = if (seen.add(v)) { out(outN) = v; outN += 1 }
+    var i = 0
     if (m < w) {
       var mn = grams(0); i = 1
       while (i < m) { if (grams(i) < mn) mn = grams(i); i += 1 }

@@ -117,12 +117,14 @@ object SpatialOps {
     * (`query_id`, `lat`, `lon`) are driver-collected (broadcast-small, the
     * [[polygonJoin]] contract); each cap covers via
     * [[S2Cell.coverCap]] (provable superset, conservative
-    * circumradius descent), covers are normalized to the COARSEST achieved
-    * level so one equi-join key serves all queries (parents of a superset
-    * cover are still a superset), then the broadcast (query_id, cell) list
-    * equi-joins the points' cells and exact haversine refines. No cross
-    * product at any scale: candidate volume is cover cells × cell
-    * occupancy, not |queries| × |points|. */
+    * circumradius descent). Covers keep their OWN achieved level (round 6 —
+    * normalizing to the batch's coarsest level let one polar/large-radius
+    * query degrade join-key selectivity for every other query): points are
+    * encoded once at the finest present level, parent-shifted to each
+    * present level, and the broadcast (query_id, level, cell) list
+    * equi-joins on (level, cell); exact haversine refines. No cross
+    * product at any scale: candidate volume is each query's cover cells ×
+    * cell occupancy, not |queries| × |points|. */
   def s2RadiusJoin(points: DataFrame, queries: DataFrame, radiusMeters: Double,
                    level: Int = 10, maxCellsPerQuery: Int = 256): DataFrame = {
     val spark = points.sparkSession
@@ -133,19 +135,36 @@ object SpatialOps {
     val covers = qs.map { case (id, la, lo) =>
       (id, S2Cell.coverCap(la, lo, radiusMeters, level, maxCellsPerQuery))
     }
-    // empty query set ⇒ empty result with the right schema
-    val minL = if (covers.isEmpty) 0 else covers.map(_._2._2).min
+    // PER-LEVEL join keys (round 6): covers keep their own achieved level
+    // instead of all normalizing to the globally coarsest one — one
+    // polar/large-radius query no longer degrades join-key selectivity for
+    // the whole batch. Each point explodes to its ancestor cell at every
+    // level PRESENT in the batch (usually 1-2), and the broadcast cover
+    // list joins on (level, cell); candidate volume is each query's own
+    // cover × occupancy. Exact haversine refine is unchanged, so results
+    // are identical.
+    if (qs.isEmpty) // empty query set ⇒ empty result with the right schema
+      return points.withColumn("query_id", lit(0L)).limit(0)
+    val levels = covers.map(_._2._2).distinct.sorted
     val coverDF = covers.toSeq.flatMap { case (id, (cells, l)) =>
-      cells.map(c => (id, S2Cell.parent(c, minL))).distinct
-    }.toDF("query_id", "qcell")
+      cells.map(c => (id, l, c)).distinct
+    }.toDF("query_id", "qlevel", "pcell")
     val qll = qs.toSeq.toDF("query_id", "q_lat", "q_lon")
-    points
-      .withColumn("pcell", s2CellId(col("lat"), col("lon"), minL))
-      .join(broadcast(coverDF), col("pcell") === col("qcell"))
+    val fineL = levels.max
+    // encode each point ONCE at the finest present level; coarser present
+    // levels are a shift (S2Cell.parent's bit layout matches cellParent's)
+    val fineCell = s2CellId(col("lat"), col("lon"), fineL)
+    val pLevelCells = array(levels.map(l =>
+      struct(lit(l).as("qlevel"), cellParent(fineCell, fineL, l).as("pcell"))): _*)
+    points.withColumn("__lc", explode(pLevelCells))
+      .withColumn("qlevel", col("__lc").getField("qlevel"))
+      .withColumn("pcell", col("__lc").getField("pcell"))
+      .drop("__lc")
+      .join(broadcast(coverDF), Seq("qlevel", "pcell"))
       .join(broadcast(qll), "query_id")
       .filter(haversineMeters(col("lat"), col("lon"),
         col("q_lat"), col("q_lon")) <= radiusMeters)
-      .drop("pcell", "qcell", "q_lat", "q_lon")
+      .drop("pcell", "qlevel", "q_lat", "q_lon")
   }
 
   /** Great-circle distance in meters (haversine), pure Column math. */

@@ -59,6 +59,7 @@ object BenchExtra {
       case "spansq" => spansPerQuery(spark)
       case "coldq" => coldPerQuery(spark)
       case "knnq" => knnProbe(spark)
+      case "scan" => scanProbe(spark)
       case other    => sys.error(s"unknown suite '$other'")
     }
     spark.stop()
@@ -106,6 +107,16 @@ object BenchExtra {
       val t = median3(view.filter(pred).count())
       println(f"coldq_$i%-2d $t%7.3f  $src")
     }
+  }
+
+  /** Scan-floor probe: the full spans struct vs nested-pruned subfields —
+    * bounds what a schema-pruning rule for DecodeOsmSpans could save. */
+  private def scanProbe(spark: SparkSession): Unit = {
+    val docs = spark.read.parquet("/root/repo/target/bench/docs_n600000")
+    val tFull = median3(noop(docs.select(col("spans"))))
+    val tKT = median3(noop(docs.select(col("spans.kind"), col("spans.text"))))
+    val tK = median3(noop(docs.select(col("spans.kind"))))
+    println(f"""{"scan_full_struct_sec":$tFull%.3f,"scan_kind_text_sec":$tKT%.3f,"scan_kind_sec":$tK%.3f}""")
   }
 
   /** knn stage probe: candidate volume and full-operator time at the bench
