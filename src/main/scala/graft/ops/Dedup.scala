@@ -211,7 +211,7 @@ object Dedup {
     * metric collected by the round's eager localCheckpoint job — no separate
     * join + count pass. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50,
-                  maxDriverEdges: Long = 10000000L): DataFrame = {
+                  maxDriverEdges: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
       .distinct().localCheckpoint(true)
     // Size-adaptive (round 6, the AQE-broadcast analogy): a dedup's pair
@@ -220,7 +220,12 @@ object Dedup {
     // as a broadcast join's build side), a driver-side union-find resolves
     // components in one collect instead of O(log diameter) rounds of two
     // shuffles each; the iterative loop below remains the path for edge
-    // sets above the guard. Output is identical by construction: cluster =
+    // sets above the guard. Guard sizing: the driver walk is single-thread
+    // O(E) (measured ~42 s at 5.6M boxed edges), so the default stays well
+    // below the crossover where the distributed loop wins at cluster
+    // parallelism (the N→4N scaling evidence for big edge sets is the
+    // LOOP's 0.87 — ScalingBench's 5.6M-edge fixture deliberately exceeds
+    // this guard). Output is identical by construction: cluster =
     // the component's minimum key under Spark's own ordering (UTF8 binary
     // for strings — NOT String.compareTo, which disagrees on supplementary
     // code points).
@@ -410,17 +415,20 @@ object Dedup {
         val rare = dfT.filter(col("df") <= maxDocFreq)
           .select(col("f")).as(longEnc).collect()
         java.util.Arrays.sort(rare)
-        val hotSet = dfT.filter(col("df") > maxDocFreq)
-          .select(col("f")).as(longEnc).collect().toSet
+        val hotArr = dfT.filter(col("df") > maxDocFreq)
+          .select(col("f")).as(longEnc).collect()
+        java.util.Arrays.sort(hotArr)
         val bcRare = spark.sparkContext.broadcast(rare)
-        val bcHot = spark.sparkContext.broadcast(hotSet)
-        val retained = org.apache.spark.sql.GraftBridge.column(
-          graft.exprs.LongArrayRetainSorted(
-            org.apache.spark.sql.GraftBridge.expression(col("fps")), bcRare))
-        val nHotUdf = udf((fps: Seq[Long]) => fps.count(bcHot.value.contains).toLong)
-        (fmat.select(col("key"), explode(retained).as("f")),
+        val bcHot = spark.sparkContext.broadcast(hotArr)
+        def retain(bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+          org.apache.spark.sql.GraftBridge.column(
+            graft.exprs.LongArrayRetainSorted(
+              org.apache.spark.sql.GraftBridge.expression(col("fps")), bc))
+        // n_hot via the same codegen'd retain kernel (no per-row Seq boxing
+        // — the stats subtree is evaluated under BOTH prefilter joins)
+        (fmat.select(col("key"), explode(retain(bcRare)).as("f")),
           fmat.select(col("key"), col("nt").as("n_total"),
-            nHotUdf(col("fps")).as("n_hot")))
+            size(retain(bcHot)).cast("long").as("n_hot")))
       } else {
         val ef = e.join(dfT, Seq("f"))
         val hot = ef.filter(col("df") > maxDocFreq)
